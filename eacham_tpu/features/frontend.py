@@ -1,0 +1,74 @@
+"""Feature-extraction frontend: batched detect + describe over frames.
+
+Replaces the reference's per-frame parallel-STL extraction loop
+(apps/sfm/main.cpp:72-79) with one jitted program vmapped over the frame
+batch — frame fan-out becomes array batching instead of a thread pool.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from eacham_tpu.features.detector import detect_keypoints
+from eacham_tpu.features.descriptor import describe_keypoints
+
+
+@partial(jax.jit, static_argnames=("max_keypoints",))
+def extract_features(
+    images: jnp.ndarray,   # [N, H, W] grayscale float32 in [0, 1]
+    max_keypoints: int = 1024,
+    contrast_threshold: float = 0.006,
+):
+    """Detect + describe for a batch of frames.
+
+    Returns ``(xy [N, K, 2], desc [N, K, 256], score [N, K], mask [N, K])``.
+    """
+
+    def one(img):
+        xy, sidx, score, mask = detect_keypoints(
+            img, max_keypoints=max_keypoints,
+            contrast_threshold=contrast_threshold,
+        )
+        desc = describe_keypoints(img, xy, sidx, mask)
+        return xy, desc, score, mask
+
+    return jax.vmap(one)(images)
+
+
+@dataclass
+class ClassicalFrontend:
+    """Config-carrying wrapper mirroring the reference's extractor role
+    (FeatureExtractorSift with maxFeaturesCount, main.cpp:69)."""
+
+    max_keypoints: int = 1024
+    contrast_threshold: float = 0.006
+    batch: int = 8  # frames per device step (bounds scale-space memory)
+
+    def __call__(self, images) -> tuple:
+        import numpy as np
+
+        n = images.shape[0]
+        outs = []
+        for s in range(0, n, self.batch):
+            img_chunk = np.asarray(images[s:s + self.batch])
+            pad = self.batch - img_chunk.shape[0]
+            if pad:  # pad the last chunk so every step hits the same jit cache
+                img_chunk = np.concatenate(
+                    [img_chunk, np.zeros((pad,) + img_chunk.shape[1:], img_chunk.dtype)]
+                )
+            outs.append(
+                extract_features(
+                    jnp.asarray(img_chunk),
+                    max_keypoints=self.max_keypoints,
+                    contrast_threshold=self.contrast_threshold,
+                )
+            )
+        xy = jnp.concatenate([o[0] for o in outs], axis=0)[:n]
+        desc = jnp.concatenate([o[1] for o in outs], axis=0)[:n]
+        score = jnp.concatenate([o[2] for o in outs], axis=0)[:n]
+        mask = jnp.concatenate([o[3] for o in outs], axis=0)[:n]
+        return xy, desc, score, mask

@@ -1,0 +1,104 @@
+"""Descriptor matching on the MXU: one matmul + top-2 ratio test + mutual check.
+
+TPU-native replacement for the FLANN knn matcher + the driver's
+mutual-cross-check buffer (modules/base/features/FeatureMatcherFlann.cpp:14-30
+— knnMatch k=2, Lowe ratio 0.8; apps/sfm/main.cpp:130-146 — both-direction
+agreement, pair kept if >30 survivors). For L2-normalized descriptors the
+full distance matrix is ``d^2 = 2 - 2 * D1 @ D2^T`` — a single [K,256]x[256,K]
+matmul per pair; the all-pairs stage batches P such matmuls.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+NEG = -1e9
+
+
+def match_pair(
+    d1: jnp.ndarray,      # [K1, D] L2-normalized descriptors
+    d2: jnp.ndarray,      # [K2, D]
+    mask1: jnp.ndarray,   # [K1] bool
+    mask2: jnp.ndarray,   # [K2] bool
+    ratio: float = 0.8,
+):
+    """Mutual Lowe-ratio matching.
+
+    Returns ``(best_j [K1] int32, valid [K1] bool)``: for each keypoint of
+    frame 1, the matched keypoint of frame 2 (or garbage where valid=False).
+    Ratio test applied in both directions plus mutual-argmax agreement —
+    exactly the semantics of FLANN(ratio) + the main-loop cross check.
+    """
+    sim = jnp.dot(d1, d2.T, preferred_element_type=jnp.float32)  # [K1, K2]
+    sim = jnp.where(mask1[:, None] & mask2[None, :], sim, NEG)
+
+    def top2(s, axis):
+        best = jnp.max(s, axis=axis)
+        arg = jnp.argmax(s, axis=axis)
+        s2 = jnp.where(
+            jax.nn.one_hot(arg, s.shape[axis], axis=axis, dtype=bool), NEG, s
+        )
+        second = jnp.max(s2, axis=axis)
+        return best, arg, second
+
+    b12, a12, s12 = top2(sim, 1)   # per row (frame-1 kp)
+    b21, a21, s21 = top2(sim, 0)   # per col (frame-2 kp)
+
+    # Lowe ratio on L2 distances: d = sqrt(2 - 2 s) (clamped), d1 < r * d2
+    def ratio_ok(best, second):
+        dbest = jnp.sqrt(jnp.maximum(2.0 - 2.0 * best, 0.0))
+        dsecond = jnp.sqrt(jnp.maximum(2.0 - 2.0 * second, 0.0))
+        return dbest < ratio * dsecond
+
+    ok12 = ratio_ok(b12, s12) & (b12 > NEG / 2) & mask1
+    ok21 = ratio_ok(b21, s21) & (b21 > NEG / 2) & mask2
+
+    mutual = a21[a12] == jnp.arange(d1.shape[0])
+    valid = ok12 & mutual & ok21[a12]
+    return a12.astype(jnp.int32), valid
+
+
+@partial(jax.jit, static_argnames=("ratio", "min_matches", "chunk"))
+def match_all_pairs(
+    desc: jnp.ndarray,       # [N, K, D] L2-normalized
+    kp_mask: jnp.ndarray,    # [N, K] bool
+    pair_idx: jnp.ndarray,   # [P, 2] int32 (i, j) frame indices, i < j
+    ratio: float = 0.8,
+    min_matches: int = 30,
+    chunk: int = 16,
+):
+    """Exhaustive pair matching (HOT LOOP 2 of the reference,
+    apps/sfm/main.cpp:84-147) as a scan of batched matmuls.
+
+    Returns ``(match_j [P, K] int32, match_valid [P, K] bool,
+    pair_ok [P] bool)`` where row p maps keypoints of frame pair_idx[p,0]
+    to keypoints of frame pair_idx[p,1]; pair_ok mirrors the reference's
+    "> min_matches survivors" gate (main.cpp:142).
+
+    ``chunk`` bounds the live similarity-matrix memory (chunk*K*K floats).
+    """
+    P = pair_idx.shape[0]
+    K = desc.shape[1]
+    pad = (-P) % chunk
+    pair_padded = jnp.concatenate(
+        [pair_idx, jnp.zeros((pad, 2), dtype=pair_idx.dtype)], axis=0
+    )
+    n_chunks = pair_padded.shape[0] // chunk
+    pair_chunks = pair_padded.reshape(n_chunks, chunk, 2)
+
+    def one(pair):
+        i, j = pair[0], pair[1]
+        return match_pair(desc[i], desc[j], kp_mask[i], kp_mask[j], ratio)
+
+    def step(_, pairs):
+        bj, valid = jax.vmap(one)(pairs)
+        return None, (bj, valid)
+
+    _, (match_j, match_valid) = jax.lax.scan(step, None, pair_chunks)
+    match_j = match_j.reshape(-1, K)[:P]
+    match_valid = match_valid.reshape(-1, K)[:P]
+    pair_ok = jnp.sum(match_valid, axis=-1) > min_matches
+    return match_j, match_valid, pair_ok

@@ -1,0 +1,94 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from eacham_tpu.features import (
+    detect_keypoints,
+    describe_keypoints,
+    match_pair,
+    match_all_pairs,
+    extract_features,
+)
+
+
+def _texture(rng, H=240, W=320, blobs=60):
+    """Random blob texture with strong local structure."""
+    img = np.zeros((H, W), np.float32)
+    ys = rng.uniform(20, H - 20, blobs)
+    xs = rng.uniform(20, W - 20, blobs)
+    amps = rng.uniform(0.4, 1.0, blobs)
+    sig = rng.uniform(1.5, 4.0, blobs)
+    yy, xx = np.mgrid[0:H, 0:W]
+    for x, y, a, s in zip(xs, ys, amps, sig):
+        img += a * np.exp(-((xx - x) ** 2 + (yy - y) ** 2) / (2 * s * s))
+    img += 0.02 * rng.standard_normal((H, W)).astype(np.float32)
+    return np.clip(img, 0, 1).astype(np.float32), np.stack([xs, ys], -1)
+
+
+def test_detector_finds_blobs(rng):
+    img, centers = _texture(rng)
+    xy, sidx, score, mask = detect_keypoints(jnp.asarray(img), max_keypoints=256)
+    xy = np.asarray(xy)[np.asarray(mask)]
+    assert len(xy) > 30
+    # most blob centers should have a detection within 3 px
+    d = np.linalg.norm(centers[:, None, :] - xy[None, :, :], axis=-1).min(axis=1)
+    hits = (d < 3.0).mean()
+    assert hits > 0.5, f"only {hits:.0%} of blobs detected"
+
+
+def test_descriptor_normalized(rng):
+    img, _ = _texture(rng)
+    xy, sidx, score, mask = detect_keypoints(jnp.asarray(img), max_keypoints=128)
+    desc = describe_keypoints(jnp.asarray(img), xy, sidx, mask)
+    desc = np.asarray(desc)
+    m = np.asarray(mask)
+    norms = np.linalg.norm(desc[m], axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+    assert np.all(desc[~m] == 0.0)
+
+
+def test_matching_under_shift(rng):
+    """Features of a translated image must match back to their source."""
+    img, _ = _texture(rng)
+    shift = 12
+    img2 = np.roll(img, shift, axis=1)
+    xy1, d1, s1, m1 = extract_features(jnp.asarray(img[None]), max_keypoints=256)
+    xy2, d2, s2, m2 = extract_features(jnp.asarray(img2[None]), max_keypoints=256)
+    bj, valid = match_pair(d1[0], d2[0], m1[0], m2[0])
+    valid = np.asarray(valid)
+    assert valid.sum() > 30
+    p1 = np.asarray(xy1[0])[valid]
+    p2 = np.asarray(xy2[0])[np.asarray(bj)[valid]]
+    dx = p2[:, 0] - p1[:, 0]
+    dy = p2[:, 1] - p1[:, 1]
+    # the dominant displacement must be the applied shift
+    assert np.abs(np.median(dx) - shift) < 1.0
+    assert np.abs(np.median(dy)) < 1.0
+    inlier_frac = ((np.abs(dx - shift) < 2) & (np.abs(dy) < 2)).mean()
+    assert inlier_frac > 0.8
+
+
+def test_match_all_pairs_gate(rng):
+    img, _ = _texture(rng)
+    imgs = np.stack([img, np.roll(img, 10, 1), rng.uniform(0, 1, img.shape).astype(np.float32)])
+    xy, d, s, m = extract_features(jnp.asarray(imgs), max_keypoints=256)
+    pair_idx = jnp.asarray([[0, 1], [0, 2], [1, 2]], dtype=jnp.int32)
+    mj, mv, ok = match_all_pairs(d, m, pair_idx, min_matches=30)
+    ok = np.asarray(ok)
+    assert ok[0]            # shifted copy matches
+    assert not ok[1]        # pure noise does not
+    assert not ok[2]
+
+
+def test_match_pair_respects_masks(rng):
+    img, _ = _texture(rng)
+    xy, d, s, m = extract_features(jnp.asarray(img[None]), max_keypoints=128)
+    m0 = np.asarray(m[0]).copy()
+    half = np.zeros_like(m0)
+    half[: len(half) // 2] = m0[: len(half) // 2]
+    bj, valid = match_pair(d[0], d[0], jnp.asarray(half), m[0])
+    valid = np.asarray(valid)
+    assert not valid[len(half) // 2:].any()
+    # self-matching on the unmasked half should be near-perfect identity
+    idx = np.where(valid)[0]
+    assert (np.asarray(bj)[idx] == idx).mean() > 0.95
