@@ -1,0 +1,97 @@
+"""Match-graph construction and per-frame observer gathering.
+
+The reference stores matches as per-edge hash maps inside ``Factor``
+(modules/sfm/data/Node.h:24-31) filled by the mutex-guarded mutual-check
+buffer of the driver (apps/sfm/main.cpp:111-146). Here the whole graph is
+three dense tables (pair index, forward map, inverse map) built in one
+jitted pass from the batched matcher output.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from eacham_tpu.features.matching import match_all_pairs
+
+
+def all_pairs_index(n_frames: int) -> np.ndarray:
+    """Host-side [P, 2] (i, j) enumeration, i < j — the pair fan-out of
+    apps/sfm/main.cpp:84-96 without the (j, i) duplicates (the inverse
+    direction is a table, not a second matching run)."""
+    ii, jj = np.triu_indices(n_frames, k=1)
+    return np.stack([ii, jj], -1).astype(np.int32)
+
+
+def invert_matches(match_ij: jnp.ndarray, valid_ij: jnp.ndarray):
+    """Invert kp_i -> kp_j maps into kp_j -> kp_i maps by scatter.
+
+    match_ij: [P, K] int32, valid_ij: [P, K] bool.
+    Returns (match_ji [P, K] int32, valid_ji [P, K] bool).
+    """
+    P, K = match_ij.shape
+
+    def one(mj, v):
+        tgt = jnp.where(v, mj, K)  # dump slot
+        inv = jnp.full((K + 1,), -1, jnp.int32).at[tgt].set(
+            jnp.arange(K, dtype=jnp.int32)
+        )[:-1]
+        return inv, inv >= 0
+
+    return jax.vmap(one)(match_ij, valid_ij)
+
+
+def build_match_tables(
+    desc: jnp.ndarray,       # [N, K, D] L2-normalized descriptors
+    kp_mask: jnp.ndarray,    # [N, K]
+    ratio: float = 0.8,
+    min_matches: int = 30,
+    chunk: int = 16,
+):
+    """Exhaustive matching + inverse tables.
+
+    Returns ``(pair_idx [P,2] np.int32, pair_ok, match_ij, valid_ij,
+    match_ji, valid_ji)``.
+    """
+    N = desc.shape[0]
+    pair_idx = jnp.asarray(all_pairs_index(N))
+    match_ij, valid_ij, pair_ok = match_all_pairs(
+        desc, kp_mask, pair_idx, ratio=ratio, min_matches=min_matches,
+        chunk=chunk,
+    )
+    valid_ij = valid_ij & pair_ok[:, None]
+    match_ji, valid_ji = invert_matches(match_ij, valid_ij)
+    return pair_idx, pair_ok, match_ij, valid_ij, match_ji, valid_ji
+
+
+def observers_of_frame(
+    frame: jnp.ndarray,        # [] int32 — the "current" frame c
+    pair_id_row: jnp.ndarray,  # [N] int32 — pair_id_table[c], -1 = no edge
+    pair_idx: jnp.ndarray,     # [P, 2]
+    pair_ok: jnp.ndarray,      # [P]
+    match_ij: jnp.ndarray,     # [P, K]
+    valid_ij: jnp.ndarray,
+    match_ji: jnp.ndarray,
+    valid_ji: jnp.ndarray,
+):
+    """For every keypoint k of frame c: the matched keypoint in every other
+    frame v — the dense form of walking a node's factors
+    (Node.h:163-190 GetFactors + Factor::matches).
+
+    Returns ``(obs_kp [N, K] int32, obs_on [N, K] bool)`` where
+    obs_kp[v, k] is the kp index in frame v matched to kp k of frame c.
+    """
+    N = pair_id_row.shape[0]
+    pid = jnp.maximum(pair_id_row, 0)
+    has_edge = (pair_id_row >= 0) & pair_ok[pid]
+    # row v of the result comes from the forward table when c is the pair's
+    # "i" slot, from the inverse table otherwise.
+    c_is_i = pair_idx[pid, 0] == frame
+    fwd = match_ij[pid]       # [N, K]
+    fwd_v = valid_ij[pid]
+    bwd = match_ji[pid]
+    bwd_v = valid_ji[pid]
+    obs_kp = jnp.where(c_is_i[:, None], fwd, bwd)
+    obs_on = jnp.where(c_is_i[:, None], fwd_v, bwd_v) & has_edge[:, None]
+    return obs_kp, obs_on

@@ -1,0 +1,356 @@
+"""Incremental SfM driver: the whole reconstruction loop.
+
+TPU-native equivalent of the reference's program driver
+(apps/sfm/main.cpp:31-269): extract -> match all pairs -> init pair ->
+{next-best-view, PnP, triangulate(2), local BA, triangulate(3)} loop ->
+global BA. The while-loop itself is host Python (inherently sequential,
+SURVEY.md §7 "Hard parts" #4); every numeric stage inside is a jitted,
+statically-shaped program that compiles once and is reused every iteration.
+
+Deliberate deviations from the reference (documented, all strictly
+stronger):
+  * PnP gathers 3D-2D correspondences from ALL registered neighbors of the
+    new frame, not only the selected edge (RecoverPosePnP uses one factor,
+    ReconstructionManager.cpp:197-208); set ``pnp_pair_only=True`` for the
+    reference behavior.
+  * next-best-view ties (common right after init, when every landmark is
+    two-view and all scores are 0) break by match count instead of
+    enumeration order (Graph.h:95-101 keeps the last tie).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from eacham_tpu.ba.core import BAConfig, refine_ba
+from eacham_tpu.geometry.camera import intrinsics_from_image_size
+from eacham_tpu.geometry.pnp import solve_pnp_ransac
+from eacham_tpu.sfm.matches import build_match_tables, observers_of_frame
+from eacham_tpu.sfm.scene import (
+    Scene, make_scene, pair_id_table, ba_problem_from_scene, alloc_landmarks,
+)
+from eacham_tpu.sfm.triangulate import triangulate_frame
+from eacham_tpu.sfm.twoview import find_best_pair
+
+
+@dataclass(frozen=True)
+class SfmOptions:
+    """Run configuration mirroring SfmConfig
+    (modules/sfm/config/SfmConfig.h:15-93 + config/SfmConfig.json)."""
+
+    # features / matching
+    max_features: int = 1024          # "features/max_count"
+    match_ratio: float = 0.8          # FeatureMatcherFlann.cpp:27
+    min_matches: int = 30             # main.cpp:111,142
+    # initial pair
+    min_initial_inliers: int = 450    # config/SfmConfig.json:16
+    init_max_repr_error: float = 4.0  # json:17
+    init_min_tri_angle_deg: float = 3.0  # json:18
+    # incremental processing
+    max_repr_error: float = 8.0       # json:22
+    min_tri_angle_deg: float = 2.0    # json:23
+    min_pnp_inliers: int = 15         # json:24
+    # bundle adjustment budgets
+    refine_max_iters: int = 100       # json:31
+    refine_tolerance: float = 1e-5    # json:32
+    global_max_iters: int = 150       # json:38
+    global_tolerance: float = 1e-7    # json:39
+    min_ba_landmarks: int = 50        # BundleAdjuster.cpp:166
+    # TPU shape budgets
+    max_observers: int = 12
+    lm_capacity: int | None = None
+    ransac_hyps_e: int = 512
+    ransac_hyps_h: int = 256
+    ransac_hyps_pnp: int = 512
+    init_chunk: int = 4
+    match_chunk: int = 16
+    # behavior switches
+    pnp_pair_only: bool = False
+    run_global_ba: bool = True
+    seed: int = 0
+
+    @property
+    def init_min_tri_angle(self) -> float:
+        return float(np.deg2rad(self.init_min_tri_angle_deg))
+
+    @property
+    def min_tri_angle(self) -> float:
+        return float(np.deg2rad(self.min_tri_angle_deg))
+
+
+@jax.jit
+def next_best_view(scene: Scene, excluded: jnp.ndarray):
+    """Pick (registered, unregistered) edge maximizing the count of
+    non-two-view landmarks on the registered side that match into the
+    candidate (Graph::GetBestPairForValid, Graph.h:59-106), tie-broken by
+    match count. Returns (prev, cur, score) with score < 0 when no
+    candidate edge exists."""
+    K = scene.kp_mask.shape[1]
+    lm = scene.kp2lm
+    lm_safe = jnp.maximum(lm, 0)
+    kp_good = (lm >= 0) & scene.lm_valid[lm_safe] & (~scene.lm_two_view[lm_safe])
+
+    i = scene.pair_idx[:, 0]
+    j = scene.pair_idx[:, 1]
+    n_matches = jnp.sum(scene.valid_ij, axis=1)
+
+    def side(a, b, valid_ab, kp_a):
+        score = jnp.sum(valid_ab & kp_a, axis=1)
+        gate = (
+            scene.pair_ok
+            & scene.pose_valid[a]
+            & (~scene.pose_valid[b])
+            & (~excluded[b])
+        )
+        comp = score * (K + 1) + n_matches
+        return jnp.where(gate, comp, -1)
+
+    s_ij = side(i, j, scene.valid_ij, kp_good[i])
+    s_ji = side(j, i, scene.valid_ji, kp_good[j])
+    s = jnp.concatenate([s_ij, s_ji])
+    best = jnp.argmax(s)
+    P = i.shape[0]
+    fwd = best < P
+    row = jnp.where(fwd, best, best - P)
+    prev = jnp.where(fwd, i[row], j[row])
+    cur = jnp.where(fwd, j[row], i[row])
+    return prev, cur, s[best]
+
+
+@partial(jax.jit, static_argnames=("n_hyp", "pair_only"))
+def pnp_register(
+    scene: Scene,
+    prev: jnp.ndarray,
+    cur: jnp.ndarray,
+    pair_id_row: jnp.ndarray,   # [N] — pair_id_table[cur]
+    key,
+    threshold: float = 4.0,     # ReconstructionManager.cpp:224
+    n_hyp: int = 512,
+    pair_only: bool = False,
+):
+    """Gather 3D-2D correspondences for the new frame and solve PnP
+    (RecoverPosePnP, ReconstructionManager.cpp:185-240).
+
+    Returns (T [4,4], n_inliers). Caller applies the min-inlier gate.
+    """
+    N, K = scene.kp_mask.shape
+    obs_kp, obs_on = observers_of_frame(
+        cur, pair_id_row, scene.pair_idx, scene.pair_ok,
+        scene.match_ij, scene.valid_ij, scene.match_ji, scene.valid_ji,
+    )                                                   # [N, K]
+    obs_on = obs_on & scene.pose_valid[:, None] & scene.kp_mask[cur][None, :]
+    if pair_only:
+        obs_on = obs_on & (
+            jnp.arange(N, dtype=prev.dtype)[:, None] == prev
+        )
+    nb_lm = scene.kp2lm[jnp.arange(N, dtype=jnp.int32)[:, None], obs_kp]
+    has = obs_on & (nb_lm >= 0) & scene.lm_valid[jnp.maximum(nb_lm, 0)]
+
+    src = jnp.argmax(has, axis=0)                       # first neighbor with a landmark
+    ok = jnp.any(has, axis=0)                           # [K]
+    lm_id = jnp.maximum(nb_lm, 0)[src, jnp.arange(K)]
+    pts3d = scene.points[lm_id]
+    uv = scene.keypoints[cur]
+
+    T, inl, n_inl = solve_pnp_ransac(
+        key, pts3d, uv, ok, scene.intr, threshold=threshold, n_hyp=n_hyp,
+    )
+    return T, n_inl
+
+
+@jax.jit
+def seed_initial_pair(scene: Scene, pair_row, T2, points, point_ok):
+    """Fix frame i at identity, set frame j's pose, seed the map with the
+    two-view points (utils::FindBestPair success path, Utils.h:38-59)."""
+    i = scene.pair_idx[pair_row, 0]
+    j = scene.pair_idx[pair_row, 1]
+    K = scene.kp_mask.shape[1]
+
+    pose = scene.pose.at[i].set(jnp.eye(4, dtype=scene.pose.dtype))
+    pose = pose.at[j].set(T2)
+    scene = scene._replace(
+        pose=pose,
+        pose_valid=scene.pose_valid.at[i].set(True).at[j].set(True),
+        pose_fixed=scene.pose_fixed.at[i].set(True),
+    )
+    scene, ids = alloc_landmarks(scene, points, point_ok)
+    got = ids >= 0
+    tw_pad = jnp.concatenate([scene.lm_two_view, jnp.zeros((1,), bool)])
+    scatter = jnp.where(got, ids, scene.lm_capacity)
+    scene = scene._replace(lm_two_view=tw_pad.at[scatter].set(True)[:-1])
+    # link both frames' keypoints
+    N = scene.kp_mask.shape[0]
+    kk = jnp.arange(K, dtype=jnp.int32)
+    flat = jnp.concatenate([scene.kp2lm.reshape(-1), jnp.zeros((1,), jnp.int32)])
+    tgt_i = jnp.where(got, i * K + kk, N * K)
+    tgt_j = jnp.where(got, j * K + scene.match_ij[pair_row], N * K)
+    flat = flat.at[tgt_i].set(jnp.where(got, ids, 0))
+    flat = flat.at[tgt_j].set(jnp.where(got, ids, 0))
+    return scene._replace(kp2lm=flat[:-1].reshape(N, K))
+
+
+def _ba(scene: Scene, cam_in_ba, cfg: BAConfig, min_landmarks: int):
+    """Build the BA problem, skip if too small (BundleAdjuster.cpp:166-169),
+    run LM, write back."""
+    prob = ba_problem_from_scene(scene, cam_in_ba)
+    if int(jnp.sum(prob.pt_in_ba)) < min_landmarks:
+        return scene, None
+    poses, points, intr, info = refine_ba(prob, cfg)
+    return scene._replace(pose=poses, points=points, intr=intr), info
+
+
+@jax.jit
+def local_neighbors(scene: Scene, cur):
+    """Frames participating in local BA: the new frame + its registered
+    edge-neighbors (BundleAdjuster.cpp:123-145)."""
+    i = scene.pair_idx[:, 0]
+    j = scene.pair_idx[:, 1]
+    N = scene.kp_mask.shape[0]
+    on_i = scene.pair_ok & (j == cur)
+    on_j = scene.pair_ok & (i == cur)
+    nb = jnp.zeros((N,), jnp.int32)
+    nb = nb.at[jnp.where(on_i, i, cur)].max(on_i.astype(jnp.int32))
+    nb = nb.at[jnp.where(on_j, j, cur)].max(on_j.astype(jnp.int32))
+    nb = (nb > 0) & scene.pose_valid
+    return nb.at[cur].set(True)
+
+
+def run_sfm(
+    keypoints: jnp.ndarray,    # [N, K, 2]
+    descriptors: jnp.ndarray,  # [N, K, D] L2-normalized
+    kp_mask: jnp.ndarray,      # [N, K]
+    image_size: tuple[int, int],   # (width, height)
+    intr: jnp.ndarray | None = None,
+    options: SfmOptions = SfmOptions(),
+    verbose: bool = True,
+):
+    """Full incremental reconstruction. Returns (scene, stats dict).
+
+    Input features come from any frontend honoring the extractor contract
+    (modules/base/features/IFeatureExtractor.h:14-19).
+    """
+    opt = options
+    key = jax.random.PRNGKey(opt.seed)
+    N = keypoints.shape[0]
+
+    def log(*a):
+        if verbose:
+            print("[sfm]", *a, flush=True)
+
+    # ---- match graph (HOT LOOP 2, main.cpp:84-147) ----------------------------
+    pair_idx, pair_ok, m_ij, v_ij, m_ji, v_ji = build_match_tables(
+        descriptors, kp_mask, ratio=opt.match_ratio,
+        min_matches=opt.min_matches, chunk=opt.match_chunk,
+    )
+    if intr is None:
+        # K guess f = 1.2 * max(w, h) (utils::ImageToCameraParams, Utils.h:13-22)
+        intr = intrinsics_from_image_size(image_size[0], image_size[1])
+    scene = make_scene(
+        keypoints, kp_mask, pair_idx, pair_ok, m_ij, v_ij, m_ji, v_ji,
+        jnp.asarray(intr), lm_capacity=opt.lm_capacity,
+    )
+    pid_tbl = jnp.asarray(pair_id_table(pair_idx, N))
+    n_edges = int(jnp.sum(pair_ok))
+    log(f"match graph: {n_edges}/{pair_idx.shape[0]} edges survive")
+
+    # ---- initial pair (main.cpp:161-162) ---------------------------------------
+    order = np.argsort(-np.asarray(jnp.sum(v_ij, axis=1)))
+    order = order[np.asarray(pair_ok)[order]]
+    key, k_init = jax.random.split(key)
+    pair_row, init = find_best_pair(
+        k_init, scene, order,
+        min_initial_inliers=opt.min_initial_inliers,
+        max_repr_error=opt.init_max_repr_error,
+        min_tri_angle=opt.init_min_tri_angle,
+        chunk=opt.init_chunk,
+        n_hyp_e=opt.ransac_hyps_e, n_hyp_h=opt.ransac_hyps_h,
+    )
+    if pair_row is None:
+        log("no initial pair found")      # main.cpp:166-169
+        return scene, {"registered": 0, "landmarks": 0, "initialized": False}
+    i0, j0 = (int(x) for x in np.asarray(pair_idx[pair_row]))
+    log(f"init pair ({i0}, {j0}): {int(init.n_good)} points, "
+        f"H={bool(init.used_homography)}")
+    scene = seed_initial_pair(scene, pair_row, init.T, init.points, init.point_ok)
+
+    refine_cfg = BAConfig(
+        max_iters=opt.refine_max_iters, tolerance=opt.refine_tolerance,
+    )
+    global_cfg = BAConfig(
+        max_iters=opt.global_max_iters, tolerance=opt.global_tolerance,
+    )
+
+    # ---- incremental loop (HOT LOOP 3, main.cpp:195-225) -----------------------
+    excluded = jnp.zeros((N,), bool)
+    n_registered = 2
+    min_obs_2 = jnp.int32(2)
+    min_obs_3 = jnp.int32(3)
+    for _ in range(N):
+        prev, cur, score = next_best_view(scene, excluded)
+        if int(score) < 0:
+            break
+        prev_i, cur_i = int(prev), int(cur)
+        key, k_pnp = jax.random.split(key)
+        T, n_inl = pnp_register(
+            scene, prev, cur, pid_tbl[cur_i], k_pnp,
+            threshold=4.0, n_hyp=opt.ransac_hyps_pnp,
+            pair_only=opt.pnp_pair_only,
+        )
+        if int(n_inl) < opt.min_pnp_inliers:        # cpp:213,228
+            log(f"frame {cur_i}: PnP failed ({int(n_inl)} inliers) — excluded")
+            excluded = excluded.at[cur_i].set(True)
+            continue
+        scene = scene._replace(
+            pose=scene.pose.at[cur_i].set(T),
+            pose_valid=scene.pose_valid.at[cur_i].set(True),
+        )
+        scene, n_merged, n_new = triangulate_frame(
+            scene, cur, pid_tbl[cur_i], min_obs_2,
+            opt.max_repr_error, opt.min_tri_angle,
+            max_observers=opt.max_observers,
+        )
+        nb = local_neighbors(scene, cur)
+        scene, info = _ba(scene, nb, refine_cfg, opt.min_ba_landmarks)
+        scene, n_merged3, n_new3 = triangulate_frame(
+            scene, cur, pid_tbl[cur_i], min_obs_3,
+            opt.max_repr_error, opt.min_tri_angle,
+            max_observers=opt.max_observers,
+        )
+        n_registered += 1
+        ba_txt = (
+            f", BA {float(info['initial_cost']):.1f}->{float(info['final_cost']):.1f}"
+            if info is not None else ""
+        )
+        log(
+            f"frame {cur_i} <- {prev_i}: PnP {int(n_inl)} inl, "
+            f"tri +{int(n_new) + int(n_new3)} lm "
+            f"(merged {int(n_merged) + int(n_merged3)}){ba_txt}"
+        )
+
+    # ---- global BA (main.cpp:227-231) -------------------------------------------
+    if opt.run_global_ba and opt.global_max_iters > 0:
+        scene, info = _ba(scene, scene.pose_valid, global_cfg, opt.min_ba_landmarks)
+        if info is not None:
+            log(
+                f"global BA: {float(info['initial_cost']):.1f} -> "
+                f"{float(info['final_cost']):.1f} "
+                f"({int(info['iterations'])} iters)"
+            )
+
+    stats = {
+        "registered": int(jnp.sum(scene.pose_valid)),
+        "excluded": int(jnp.sum(excluded)),
+        "landmarks": int(jnp.sum(scene.lm_valid)),
+        "initialized": True,
+        "init_pair": (i0, j0),
+    }
+    log(
+        f"done: {stats['registered']}/{N} frames registered, "
+        f"{stats['landmarks']} landmarks"
+    )
+    return scene, stats

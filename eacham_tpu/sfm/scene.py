@@ -1,0 +1,208 @@
+"""Struct-of-arrays SfM scene state.
+
+TPU-native replacement for the reference's pointer graph + mutex data model
+(modules/sfm/data/Graph.h:15-140, Node.h:18-231, Map.h:15-208): every
+container is a padded, statically-shaped array with a validity mask, so the
+whole state is a jit-friendly pytree that shards over a device mesh.
+
+Correspondence with the reference:
+  * ``Node`` keypoints/descriptors/pose/valid  -> keypoints/kp_mask/pose/
+    pose_valid rows (Node.h:218-226)
+  * ``Factor`` match edges (Node.h:24-31)      -> pair tables
+    (pair_idx/pair_ok/match_ij/match_ji)
+  * ``Map`` landmark dict + observer hash maps (Map.h:15-23)
+                                               -> points/lm_valid/lm_two_view
+                                                  + the inverse kp2lm table
+  * fixed-node set (Graph.h:137)               -> pose_fixed mask
+
+The observation table needed by bundle adjustment is *derived*, not stored:
+every (frame, kp) slot with a landmark link is an observation, so the COO
+arrays are just reshapes of ``kp2lm`` — no compaction pass.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+from jax.ops import segment_sum
+
+from eacham_tpu.ba.core import BAProblem
+
+
+class Scene(NamedTuple):
+    """Whole-reconstruction state. N frames, K kps/frame, P pairs, L landmarks."""
+
+    # frames
+    keypoints: jnp.ndarray    # [N, K, 2] pixel coords
+    kp_mask: jnp.ndarray      # [N, K] bool
+    pose: jnp.ndarray         # [N, 4, 4] world->cam
+    pose_valid: jnp.ndarray   # [N] bool — registered frames
+    pose_fixed: jnp.ndarray   # [N] bool — gauge-fixed frames
+    # match graph (undirected edges stored once with both direction tables)
+    pair_idx: jnp.ndarray     # [P, 2] int32 (i, j), i < j
+    pair_ok: jnp.ndarray      # [P] bool — edge survived the match gate
+    match_ij: jnp.ndarray     # [P, K] int32 — kp of frame i -> kp of frame j
+    valid_ij: jnp.ndarray     # [P, K] bool
+    match_ji: jnp.ndarray     # [P, K] int32 — kp of frame j -> kp of frame i
+    valid_ji: jnp.ndarray     # [P, K] bool
+    # landmarks
+    points: jnp.ndarray       # [L, 3]
+    lm_valid: jnp.ndarray     # [L] bool
+    lm_two_view: jnp.ndarray  # [L] bool — seeded by the init pair (Types.h:17-34)
+    n_landmarks: jnp.ndarray  # [] int32 allocation counter
+    kp2lm: jnp.ndarray        # [N, K] int32 landmark id per keypoint, -1 = none
+    # shared camera
+    intr: jnp.ndarray         # [4] fx fy cx cy
+
+    @property
+    def n_frames(self) -> int:
+        return self.keypoints.shape[0]
+
+    @property
+    def n_kps(self) -> int:
+        return self.keypoints.shape[1]
+
+    @property
+    def lm_capacity(self) -> int:
+        return self.points.shape[0]
+
+
+def make_scene(
+    keypoints: jnp.ndarray,
+    kp_mask: jnp.ndarray,
+    pair_idx: jnp.ndarray,
+    pair_ok: jnp.ndarray,
+    match_ij: jnp.ndarray,
+    valid_ij: jnp.ndarray,
+    match_ji: jnp.ndarray,
+    valid_ji: jnp.ndarray,
+    intr: jnp.ndarray,
+    lm_capacity: int | None = None,
+) -> Scene:
+    N, K = kp_mask.shape
+    if lm_capacity is None:
+        lm_capacity = N * K
+    dt = keypoints.dtype
+    return Scene(
+        keypoints=keypoints,
+        kp_mask=kp_mask,
+        pose=jnp.broadcast_to(jnp.eye(4, dtype=dt), (N, 4, 4)),
+        pose_valid=jnp.zeros((N,), bool),
+        pose_fixed=jnp.zeros((N,), bool),
+        pair_idx=pair_idx,
+        pair_ok=pair_ok,
+        match_ij=match_ij,
+        valid_ij=valid_ij,
+        match_ji=match_ji,
+        valid_ji=valid_ji,
+        points=jnp.zeros((lm_capacity, 3), dt),
+        lm_valid=jnp.zeros((lm_capacity,), bool),
+        lm_two_view=jnp.zeros((lm_capacity,), bool),
+        n_landmarks=jnp.int32(0),
+        kp2lm=jnp.full((N, K), -1, jnp.int32),
+        intr=intr,
+    )
+
+
+def pair_id_table(pair_idx: np.ndarray, n_frames: int) -> np.ndarray:
+    """Host-side [N, N] lookup: pair_id[i, j] = row of (i, j) in pair_idx
+    (symmetric), -1 when the frames share no edge slot."""
+    tbl = np.full((n_frames, n_frames), -1, np.int32)
+    pi = np.asarray(pair_idx)
+    tbl[pi[:, 0], pi[:, 1]] = np.arange(pi.shape[0], dtype=np.int32)
+    tbl[pi[:, 1], pi[:, 0]] = np.arange(pi.shape[0], dtype=np.int32)
+    return tbl
+
+
+def lm_observer_counts(scene: Scene) -> jnp.ndarray:
+    """[L] observer count per landmark, from registered frames only.
+
+    Derived equivalent of ``MapPointData::observers.size()`` (Map.h:20-22).
+    """
+    obs_on = (
+        (scene.kp2lm >= 0) & scene.kp_mask & scene.pose_valid[:, None]
+    )
+    flat_lm = jnp.where(obs_on, scene.kp2lm, scene.lm_capacity).reshape(-1)
+    counts = segment_sum(
+        jnp.ones_like(flat_lm, jnp.float32), flat_lm,
+        num_segments=scene.lm_capacity + 1,
+    )
+    return counts[:-1]
+
+
+def ba_problem_from_scene(
+    scene: Scene,
+    cam_in_ba: jnp.ndarray,
+    min_observers: int = 2,
+) -> BAProblem:
+    """Materialize the (derived) observation table into a BAProblem.
+
+    Mirrors the factor-collection pass of RefineBA
+    (BundleAdjuster.cpp:57-121): an observation participates when its frame
+    is selected, the landmark is valid and has >= ``min_observers``
+    registered observers (cpp:82-88).
+    """
+    N, K = scene.kp_mask.shape
+    L = scene.lm_capacity
+    counts = lm_observer_counts(scene)
+
+    obs_cam = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[:, None], (N, K)
+    ).reshape(-1)
+    lm = scene.kp2lm.reshape(-1)
+    obs_pt = jnp.maximum(lm, 0)
+    obs_uv = scene.keypoints.reshape(-1, 2)
+    obs_mask = (
+        (lm >= 0)
+        & scene.kp_mask.reshape(-1)
+        & scene.pose_valid.reshape(N, 1).repeat(K, 1).reshape(-1)
+        & (counts[obs_pt] >= min_observers)
+        & scene.lm_valid[obs_pt]
+    )
+
+    pt_in_ba = scene.lm_valid & (counts >= min_observers)
+    return BAProblem(
+        poses=scene.pose,
+        points=scene.points,
+        intr=scene.intr,
+        obs_cam=obs_cam,
+        obs_pt=obs_pt,
+        obs_uv=obs_uv,
+        obs_mask=obs_mask,
+        cam_in_ba=cam_in_ba & scene.pose_valid,
+        cam_fixed=scene.pose_fixed,
+        pt_in_ba=pt_in_ba,
+        pt_obs_count=jnp.maximum(counts, 1.0),
+    )
+
+
+def alloc_landmarks(scene: Scene, new_points: jnp.ndarray, new_ok: jnp.ndarray):
+    """Allocate landmark slots for ``new_ok`` rows of ``new_points``.
+
+    Functional replacement for ``Map::Add`` (Map.h:40-66): ids are handed
+    out compactly from the allocation counter with a cumsum — one pass, no
+    mutex. Returns ``(scene, ids [M] int32)`` where ids[m] is the new
+    landmark id (or -1 where ~new_ok or capacity was exceeded).
+    """
+    offs = jnp.cumsum(new_ok.astype(jnp.int32)) - 1
+    ids = scene.n_landmarks + offs
+    in_cap = ids < scene.lm_capacity
+    ok = new_ok & in_cap
+    ids = jnp.where(ok, ids, -1)
+
+    scatter = jnp.where(ok, ids, scene.lm_capacity)  # dump row for rejects
+    points_pad = jnp.concatenate(
+        [scene.points, jnp.zeros((1, 3), scene.points.dtype)]
+    )
+    points = points_pad.at[scatter].set(new_points)[:-1]
+    valid_pad = jnp.concatenate([scene.lm_valid, jnp.zeros((1,), bool)])
+    lm_valid = valid_pad.at[scatter].set(True)[:-1]
+
+    n_new = jnp.sum(ok.astype(jnp.int32))
+    return scene._replace(
+        points=points,
+        lm_valid=lm_valid,
+        n_landmarks=scene.n_landmarks + n_new,
+    ), ids

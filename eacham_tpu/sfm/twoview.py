@@ -1,0 +1,203 @@
+"""Two-view initialization: E-vs-H model selection, pose recovery, seeding.
+
+TPU-native equivalent of ``ReconstructionManager::RecoverPoseTwoView``
+(modules/sfm/reconstruction/ReconstructionManager.cpp:47-183) and
+``utils::FindBestPair`` (modules/sfm/utils/Utils.h:24-68):
+
+  * essential matrix by batched-RANSAC 8-point (replaces cv::findEssentialMat
+    LMEDS, cpp:58-61)
+  * homography by batched-RANSAC 4-point DLT (replaces cv::findHomography
+    LMEDS, cpp:74)
+  * H path taken when the H/E inlier ratio exceeds 0.9 (cpp:87-89); the
+    best of the 8 calibrated decompositions wins by triangulation count and
+    must clear 20 points (cpp:92-144)
+  * E path via cheirality-voted (R, t) (replaces cv::recoverPose, cpp:148-150)
+  * both paths triangulate every match and keep z>0 in both views,
+    reprojection < maxReprError in both views, parallax >= minTriAngle
+    (cpp:98-130, 152-179)
+
+All candidate models are evaluated as one batched program — no adaptive
+loops. ``find_best_pair`` scans edges best-first in fixed-size vmapped
+chunks and stops at the first pair whose both directions clear
+``min_initial_inliers`` (Utils.h:32-37).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from eacham_tpu.geometry.camera import pixel_to_normalized, reprojection_error
+from eacham_tpu.geometry.epipolar import estimate_essential, recover_pose
+from eacham_tpu.geometry.homography import estimate_homography, decompose_homography
+from eacham_tpu.geometry.se3 import rt_to_mat, transform_points
+from eacham_tpu.geometry.triangulation import triangulate_dlt, triangulation_angle
+
+
+class TwoViewResult(NamedTuple):
+    T: jnp.ndarray          # [4, 4] world->cam of view 2 (view 1 = identity)
+    points: jnp.ndarray     # [K, 3] triangulated points in view-1 frame
+    point_ok: jnp.ndarray   # [K] bool — survived all filters
+    n_good: jnp.ndarray     # [] int32
+    used_homography: jnp.ndarray  # [] bool
+
+
+def triangulate_filter(T, xy1, xy2, uv1, uv2, valid, intr, max_err, min_angle):
+    """DLT-triangulate all matches against (I, T) and apply the reference's
+    acceptance filters (cpp:98-130)."""
+    eye = jnp.eye(4, dtype=T.dtype)
+    pts = triangulate_dlt(eye, T, xy1, xy2)            # [K, 3] (= cam-1 frame)
+    pc2 = transform_points(T, pts)
+    err1 = reprojection_error(uv1, pts, intr)
+    err2 = reprojection_error(uv2, pc2, intr)
+    ang = triangulation_angle(eye, T, pts)
+    ok = (
+        valid
+        & (pts[:, 2] > 0.0)
+        & (pc2[:, 2] > 0.0)
+        & (err1 < max_err)
+        & (err2 < max_err)
+        & (ang >= min_angle)
+    )
+    return pts, ok
+
+
+@partial(jax.jit, static_argnames=("n_hyp_e", "n_hyp_h"))
+def recover_pose_two_view(
+    key,
+    uv1: jnp.ndarray,       # [K, 2] pixels in frame 1
+    uv2: jnp.ndarray,       # [K, 2] pixels in frame 2 (matched order)
+    valid: jnp.ndarray,     # [K] bool
+    intr: jnp.ndarray,      # [4]
+    max_repr_error: float = 4.0,
+    min_tri_angle: float = 3.0 * np.pi / 180.0,
+    ransac_px: float = 4.0,         # cpp:58,74
+    h_over_e_ratio: float = 0.9,    # cpp:87
+    min_h_points: int = 20,         # cpp:140
+    n_hyp_e: int = 512,
+    n_hyp_h: int = 256,
+) -> TwoViewResult:
+    ke, kh = jax.random.split(key)
+    xy1 = pixel_to_normalized(uv1, intr)
+    xy2 = pixel_to_normalized(uv2, intr)
+    f_mean = 0.5 * (intr[0] + intr[1])
+
+    res_e = estimate_essential(ke, xy1, xy2, valid, ransac_px / f_mean, n_hyp=n_hyp_e)
+    res_h = estimate_homography(kh, uv1, uv2, valid, ransac_px, n_hyp=n_hyp_h)
+
+    # --- E path --------------------------------------------------------------
+    T_e, _, _ = recover_pose(res_e.model, xy1, xy2, res_e.inliers)
+    pts_e, ok_e = triangulate_filter(
+        T_e, xy1, xy2, uv1, uv2, valid, intr, max_repr_error, min_tri_angle
+    )
+
+    # --- H path: best of the calibrated decompositions ------------------------
+    Rs, ts, _, cand_valid = decompose_homography(res_h.model, intr)
+    t_norm = jnp.linalg.norm(ts, axis=-1, keepdims=True)
+    ts = ts / jnp.maximum(t_norm, 1e-12)
+    Ts = jax.vmap(rt_to_mat)(Rs, ts)                   # [8, 4, 4]
+
+    def eval_cand(T):
+        pts, ok = triangulate_filter(
+            T, xy1, xy2, uv1, uv2, valid, intr, max_repr_error, min_tri_angle
+        )
+        return pts, ok, jnp.sum(ok)
+
+    pts_c, ok_c, counts = jax.vmap(eval_cand)(Ts)
+    counts = jnp.where(cand_valid, counts, -1)
+    best = jnp.argmax(counts)
+    h_ok = counts[best] > min_h_points
+
+    use_h = (
+        res_h.n_inliers.astype(jnp.float32)
+        > h_over_e_ratio * res_e.n_inliers.astype(jnp.float32)
+    ) & h_ok
+
+    T = jnp.where(use_h, Ts[best], T_e)
+    pts = jnp.where(use_h, pts_c[best], pts_e)
+    ok = jnp.where(use_h, ok_c[best], ok_e)
+    return TwoViewResult(
+        T=T, points=pts, point_ok=ok, n_good=jnp.sum(ok),
+        used_homography=use_h,
+    )
+
+
+@partial(jax.jit, static_argnames=("n_hyp_e", "n_hyp_h"))
+def two_view_bidirectional(
+    key,
+    uv1, uv2, valid, intr,
+    max_repr_error=4.0,
+    min_tri_angle=3.0 * np.pi / 180.0,
+    n_hyp_e: int = 512,
+    n_hyp_h: int = 256,
+):
+    """Run two-view recovery in both directions (Utils.h:32-33) and return
+    the forward result + both good-counts."""
+    k1, k2 = jax.random.split(key)
+    fwd = recover_pose_two_view(
+        k1, uv1, uv2, valid, intr, max_repr_error, min_tri_angle,
+        n_hyp_e=n_hyp_e, n_hyp_h=n_hyp_h,
+    )
+    bwd = recover_pose_two_view(
+        k2, uv2, uv1, valid, intr, max_repr_error, min_tri_angle,
+        n_hyp_e=n_hyp_e, n_hyp_h=n_hyp_h,
+    )
+    return fwd, fwd.n_good, bwd.n_good
+
+
+def find_best_pair(
+    key,
+    scene,
+    pair_order: np.ndarray,        # host: candidate pair rows, best-first
+    min_initial_inliers: int,
+    max_repr_error: float,
+    min_tri_angle: float,
+    chunk: int = 4,
+    n_hyp_e: int = 512,
+    n_hyp_h: int = 256,
+):
+    """Scan candidate pairs in vmapped chunks; return the first acceptable
+    ``(pair_row, TwoViewResult)`` or ``(None, None)``.
+
+    The per-direction gate is ``n_good > min_initial_inliers`` for BOTH
+    directions, as in Utils.h:34-37.
+    """
+    kp = scene.keypoints
+    mj = scene.match_ij
+    vj = scene.valid_ij
+    pi = np.asarray(scene.pair_idx)
+
+    @partial(jax.jit, static_argnames=())
+    def eval_chunk(keys, rows):
+        def one(k, p):
+            i, j = scene.pair_idx[p, 0], scene.pair_idx[p, 1]
+            uv1 = kp[i]
+            uv2 = kp[j][mj[p]]
+            fwd, n_f, n_b = two_view_bidirectional(
+                k, uv1, uv2, vj[p], scene.intr,
+                max_repr_error, min_tri_angle,
+                n_hyp_e=n_hyp_e, n_hyp_h=n_hyp_h,
+            )
+            return fwd, n_f, n_b
+
+        return jax.vmap(one)(keys, rows)
+
+    n = len(pair_order)
+    for start in range(0, n, chunk):
+        rows = pair_order[start:start + chunk]
+        if len(rows) < chunk:
+            rows = np.concatenate([rows, np.repeat(rows[-1:], chunk - len(rows))])
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, chunk)
+        fwd, n_f, n_b = eval_chunk(keys, jnp.asarray(rows))
+        n_f = np.asarray(n_f)
+        n_b = np.asarray(n_b)
+        for c in range(min(chunk, n - start)):
+            if n_f[c] > min_initial_inliers and n_b[c] > min_initial_inliers:
+                res = jax.tree_util.tree_map(lambda a: a[c], fwd)
+                return int(rows[c]), res
+    return None, None
