@@ -172,7 +172,18 @@ def _prior_terms(poses, points, intr, p: BAProblem, anchors, cfg: BAConfig):
     return (r_pose, j_pose), (r_pt, j_pt), (r_k, j_k)
 
 
-def ba_cost(poses, points, intr, p: BAProblem, anchors=None, cfg: BAConfig = BAConfig()):
+def _reduce(x, axis_name):
+    """Sum a value over the observation-sharded mesh axis (no-op single-chip).
+
+    This is the entire distributed-BA communication pattern: observation
+    shards contribute partial segment-sums; ``psum`` over ICI makes every
+    device hold the full reduced camera system (SURVEY.md §5
+    "long-context" mapping)."""
+    return jax.lax.psum(x, axis_name) if axis_name else x
+
+
+def ba_cost(poses, points, intr, p: BAProblem, anchors=None, cfg: BAConfig = BAConfig(),
+            axis_name: str | None = None):
     """Total robust cost 0.5 * sum(rho(r)) — comparable to GTSAM's
     graph.error printout (BundleAdjuster.cpp:218-219)."""
     T = poses[p.obs_cam]
@@ -189,7 +200,7 @@ def ba_cost(poses, points, intr, p: BAProblem, anchors=None, cfg: BAConfig = BAC
     rho = jnp.where(
         rn <= PX_HUBER, 0.5 * rn * rn, PX_HUBER * rn - 0.5 * PX_HUBER * PX_HUBER
     )
-    cost = jnp.sum(jnp.where(good, rho, 0.0))
+    cost = _reduce(jnp.sum(jnp.where(good, rho, 0.0)), axis_name)
 
     if anchors is not None:
         (r_pose, _), (r_pt, _), (r_k, _) = _prior_terms(
@@ -206,12 +217,17 @@ def ba_cost(poses, points, intr, p: BAProblem, anchors=None, cfg: BAConfig = BAC
     return cost
 
 
-def _solve_schur_pcg(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig):
+def _solve_schur_pcg(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig,
+                     axis_name: str | None = None):
     """One LM linear solve.
 
     Eliminates landmark blocks, runs PCG on the reduced (cams + K) system
     applied implicitly, then back-substitutes the landmark updates.
     Returns (d_cam [N,6], d_k [2], d_pt [L,3]).
+
+    With ``axis_name`` set (inside shard_map with the observation axis
+    sharded), every reduction over observations is psum'd so all devices
+    hold identical camera-system state; per-observation work stays local.
     """
     N = p.poses.shape[0]
     L = p.points.shape[0]
@@ -221,13 +237,16 @@ def _solve_schur_pcg(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig):
     cam_w = cam_upd[:, None].astype(r.dtype)  # [N, 1]
     pt_w = p.pt_in_ba[:, None].astype(r.dtype)
 
-    seg_c = partial(jax.ops.segment_sum, num_segments=N)
-    seg_p = partial(jax.ops.segment_sum, num_segments=L)
+    def seg_c(x, idx):
+        return _reduce(jax.ops.segment_sum(x, idx, num_segments=N), axis_name)
+
+    def seg_p(x, idx):
+        return _reduce(jax.ops.segment_sum(x, idx, num_segments=L), axis_name)
 
     # --- diagonal blocks ---------------------------------------------------
     U_obs = seg_c(jnp.einsum("oki,okj->oij", Jc, Jc), p.obs_cam)    # [N,6,6]
     V_obs = seg_p(jnp.einsum("oki,okj->oij", Jp, Jp), p.obs_pt)     # [L,3,3]
-    Ukk_obs = jnp.einsum("oki,okj->ij", Jk, Jk)                     # [2,2]
+    Ukk_obs = _reduce(jnp.einsum("oki,okj->ij", Jk, Jk), axis_name)  # [2,2]
 
     U = U_obs + jax.vmap(jnp.diag)(j_pose * j_pose)
     V = V_obs + jax.vmap(jnp.diag)(j_pt * j_pt)
@@ -263,7 +282,7 @@ def _solve_schur_pcg(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig):
     # --- gradients ----------------------------------------------------------
     b_c = -seg_c(jnp.einsum("oki,ok->oi", Jc, r), p.obs_cam) - r_pose * j_pose
     b_p = -seg_p(jnp.einsum("oki,ok->oi", Jp, r), p.obs_pt) - r_pt * j_pt
-    b_k = -jnp.einsum("oki,ok->i", Jk, r) - r_k * j_k
+    b_k = -_reduce(jnp.einsum("oki,ok->i", Jk, r), axis_name) - r_k * j_k
     b_c = b_c * cam_w
     b_p = b_p * pt_w
 
@@ -271,7 +290,7 @@ def _solve_schur_pcg(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig):
     h = jnp.einsum("lij,lj->li", Vinv, b_p)                         # [L,3]
     t = jnp.einsum("oki,oi->ok", Jp, h[p.obs_pt])                   # [O,2]
     b_red_c = b_c - seg_c(jnp.einsum("oki,ok->oi", Jc, t), p.obs_cam) * cam_w
-    b_red_k = b_k - jnp.einsum("oki,ok->i", Jk, t)
+    b_red_k = b_k - _reduce(jnp.einsum("oki,ok->i", Jk, t), axis_name)
 
     # --- implicit S @ v ------------------------------------------------------
     def S_mv(vc, vk):
@@ -285,7 +304,7 @@ def _solve_schur_pcg(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig):
         Sc = seg_c(jnp.einsum("oki,ok->oi", Jc, t - u), p.obs_cam)
         Sc = Sc + extra_diag_c * vc_act
         Sc = jnp.where(cam_upd[:, None], Sc, vc)  # identity rows for frozen
-        Sk = jnp.einsum("oki,ok->i", Jk, t - u) + extra_diag_k * vk
+        Sk = _reduce(jnp.einsum("oki,ok->i", Jk, t - u), axis_name) + extra_diag_k * vk
         return Sc, Sk
 
     def M_inv(vc, vk):
@@ -335,17 +354,22 @@ def _solve_schur_pcg(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig):
     return d_cam, d_k, d_pt
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def refine_ba(p: BAProblem, cfg: BAConfig = BAConfig()):
+@partial(jax.jit, static_argnames=("cfg", "axis_name"))
+def refine_ba(p: BAProblem, cfg: BAConfig = BAConfig(),
+              axis_name: str | None = None):
     """Run LM to convergence. Returns (poses, points, intr, info dict).
 
     The equivalent of RefineBA (BundleAdjuster.cpp:40-250): same factor
     structure, same write-back (poses, points, shared fx/fy), data-dependent
     LM loop expressed as lax.while_loop with masked convergence.
+
+    ``axis_name``: when called inside shard_map with the observation arrays
+    sharded over that mesh axis, the solve runs distributed (psum-reduced
+    camera system); poses/points/intr must be replicated inputs.
     """
     anchors = (p.poses, p.points, p.intr)
 
-    cost0 = ba_cost(p.poses, p.points, p.intr, p, anchors, cfg)
+    cost0 = ba_cost(p.poses, p.points, p.intr, p, anchors, cfg, axis_name)
 
     def cond(s):
         i, _, _, _, lam, cost, done = s
@@ -355,13 +379,15 @@ def refine_ba(p: BAProblem, cfg: BAConfig = BAConfig()):
         i, poses, points, intr, lam, cost, done = s
         r, Jc, Jp, Jk, _ = _obs_linearize(poses, points, intr, p)
         priors = _prior_terms(poses, points, intr, p, anchors, cfg)
-        d_cam, d_k, d_pt = _solve_schur_pcg(r, Jc, Jp, Jk, priors, p, lam, cfg)
+        d_cam, d_k, d_pt = _solve_schur_pcg(
+            r, Jc, Jp, Jk, priors, p, lam, cfg, axis_name
+        )
 
         new_poses = exp_se3(d_cam) @ poses
         new_points = points + d_pt
         new_intr = intr.at[:2].add(d_k)
 
-        new_cost = ba_cost(new_poses, new_points, new_intr, p, anchors, cfg)
+        new_cost = ba_cost(new_poses, new_points, new_intr, p, anchors, cfg, axis_name)
         accept = new_cost < cost
 
         poses = jnp.where(accept, new_poses, poses)

@@ -1,0 +1,90 @@
+"""Command-line SfM driver: ``python -m eacham_tpu.cli <config.json>``.
+
+The equivalent of the reference's ``sfm`` executable (apps/sfm/main.cpp:
+31-269) minus the Pangolin window (out of scope per SURVEY.md §2.2 #6 —
+results are exported, not rendered): parse config -> load images ->
+extract features -> run the incremental pipeline -> write transform.json
+(+ transforms_nerf.json when ``nerfy`` is set, replacing the separate
+TransformToNerf binary invocation).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def run(config_path: str, max_keypoints: int = 1024, verbose: bool = True) -> dict:
+    import jax.numpy as jnp
+    from eacham_tpu.features.frontend import extract_features
+    from eacham_tpu.io.config import load_config
+    from eacham_tpu.io.images import load_image_dir
+    from eacham_tpu.io.nerf import transform_to_nerf
+    from eacham_tpu.io.saver import save_positions
+    from eacham_tpu.sfm import run_sfm
+    from eacham_tpu.utils.timer import BlockTimer, print_stats
+
+    cfg = load_config(config_path)
+    t_start = time.perf_counter()
+
+    with BlockTimer("Load", verbose=verbose):
+        batch = load_image_dir(cfg.images_path, max_count=cfg.max_data_size)
+
+    with BlockTimer("Extract", verbose=verbose):   # HOT LOOP 1 (main.cpp:72-79)
+        xy, desc, score, mask = extract_features(
+            jnp.asarray(batch.images), max_keypoints=max_keypoints
+        )
+
+    opts = cfg.to_options(max_keypoints=max_keypoints)
+    with BlockTimer("SfM", verbose=verbose):       # match + loop + BA
+        scene, stats = run_sfm(
+            xy, desc, mask,
+            image_size=(batch.width, batch.height),
+            options=opts, verbose=verbose,
+        )
+
+    # ---- export (main.cpp:237-264) -------------------------------------------
+    valid = np.asarray(scene.pose_valid)
+    poses = np.asarray(scene.pose)
+    names = [batch.names[i] for i in range(len(batch.names)) if valid[i]]
+    intr = np.asarray(scene.intr)
+    out_path = Path(cfg.output_transform_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    save_positions(
+        out_path, names, poses[valid],
+        width=batch.width, height=batch.height,
+        cx=float(intr[2]), cy=float(intr[3]),
+        fx=float(intr[0]), fy=float(intr[1]),
+    )
+    n_invalid = int((~valid).sum())
+    if verbose:
+        print(f"invalidNodes: {n_invalid} out of {len(batch.names)}")
+        print(f"saved {out_path}")
+    if cfg.nerfy:
+        nerf_out = transform_to_nerf(out_path.parent)
+        if verbose:
+            print(f"saved {nerf_out}")
+    if verbose:
+        print(f"[SfM] total time: {(time.perf_counter() - t_start) * 1e3:.0f} ms")
+        print_stats()
+    stats["output"] = str(out_path)
+    return stats
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="eacham_tpu SfM pipeline")
+    ap.add_argument("config", help="path to SfmConfig-style JSON")
+    ap.add_argument("--max-keypoints", type=int, default=1024)
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args(argv)
+    stats = run(args.config, max_keypoints=args.max_keypoints,
+                verbose=not args.quiet)
+    return 0 if stats.get("initialized") else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -53,20 +53,29 @@ def _descriptor_one(gx_all, gy_all, xy, sidx, window, cell_of_sample):
 
     gx_all/gy_all: [S, H, W] per-level gradients; xy: [2]; sidx: [] level.
     window: [SAMPLES*SAMPLES] Gaussian weights; cell_of_sample: [SxS] int.
+
+    The sample pattern is evaluated on EVERY level with a static level
+    index, then the keypoint's level is selected from the tiny [S, n]
+    result. A dynamic ``gx_all[sidx]`` here would make XLA materialize a
+    full [H, W] gather per keypoint under vmap (tens of GB at batch scale);
+    S-fold redundant sampling of 256 points is ~free by comparison.
     """
-    sigma = SIGMA0 * (STEP ** (sidx.astype(jnp.float32) + 0.5))
-    spacing = 0.75 * sigma
-
+    S = gx_all.shape[0]
     half = (SAMPLES - 1) / 2.0
-    grid = (jnp.arange(SAMPLES, dtype=jnp.float32) - half) * spacing
-    gxs, gys = jnp.meshgrid(grid, grid, indexing="xy")
-    px = (xy[0] + gxs).reshape(-1)
-    py = (xy[1] + gys).reshape(-1)
+    base = jnp.arange(SAMPLES, dtype=jnp.float32) - half
+    gxs, gys = jnp.meshgrid(base, base, indexing="xy")
 
-    gx_img = gx_all[sidx]
-    gy_img = gy_all[sidx]
-    gx = _bilinear(gx_img, px, py)
-    gy = _bilinear(gy_img, px, py)
+    gx_lvls = []
+    gy_lvls = []
+    for s in range(S):
+        sigma_s = SIGMA0 * (STEP ** (s + 0.5))
+        spacing = 0.75 * sigma_s
+        px = (xy[0] + gxs * spacing).reshape(-1)
+        py = (xy[1] + gys * spacing).reshape(-1)
+        gx_lvls.append(_bilinear(gx_all[s], px, py))
+        gy_lvls.append(_bilinear(gy_all[s], px, py))
+    gx = jnp.stack(gx_lvls)[sidx]          # [n]
+    gy = jnp.stack(gy_lvls)[sidx]
 
     mag = jnp.sqrt(gx * gx + gy * gy + 1e-12) * window
     ori = jnp.arctan2(gy, gx)  # [-pi, pi]

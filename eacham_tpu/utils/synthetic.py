@@ -1,0 +1,88 @@
+"""Synthetic scene rendering for tests and benchmarks.
+
+The reference's interface layer admits a synthetic camera but never ships
+one (SURVEY.md §4); this module is that missing piece: a 3-D field of
+anisotropic Gaussian blobs rendered through pinhole cameras, giving image
+sequences with exact ground-truth poses/structure for end-to-end pipeline
+tests, ATE evaluation, and benchmarks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def make_blob_scene(rng, n_blobs: int = 400, depth=(3.0, 8.0), spread=1.5):
+    """Random 3-D blob field with per-blob appearance parameters."""
+    pts = rng.uniform(-spread, spread, (n_blobs, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(depth[0], depth[1], n_blobs)
+    return {
+        "pts": pts,
+        "amp": rng.uniform(0.35, 1.0, n_blobs).astype(np.float32),
+        "theta": rng.uniform(0, np.pi, n_blobs).astype(np.float32),
+        "sx": rng.uniform(1.5, 4.0, n_blobs).astype(np.float32),
+        "sy": rng.uniform(1.5, 4.0, n_blobs).astype(np.float32),
+    }
+
+
+def render_view(scene: dict, T: np.ndarray, intr, width: int, height: int):
+    """Render one [H, W] grayscale view through world->cam transform T.
+
+    Vectorized splatting: each blob paints a bounded window. Blobs behind
+    the camera are skipped (cheirality).
+    """
+    pts = scene["pts"]
+    pc = pts @ np.asarray(T[:3, :3], np.float32).T + np.asarray(T[:3, 3], np.float32)
+    fx, fy, cx, cy = (float(v) for v in np.asarray(intr))
+    img = np.zeros((height, width), np.float32)
+    vis = pc[:, 2] > 0.2
+    u = fx * pc[:, 0] / np.maximum(pc[:, 2], 0.2) + cx
+    v = fy * pc[:, 1] / np.maximum(pc[:, 2], 0.2) + cy
+    r = 14  # paint window half-size
+    for k in np.nonzero(vis & (u > -r) & (u < width + r) & (v > -r) & (v < height + r))[0]:
+        x0 = max(0, int(u[k]) - r)
+        x1 = min(width, int(u[k]) + r + 1)
+        y0 = max(0, int(v[k]) - r)
+        y1 = min(height, int(v[k]) + r + 1)
+        if x0 >= x1 or y0 >= y1:
+            continue
+        xs = np.arange(x0, x1, dtype=np.float32) - u[k]
+        ys = np.arange(y0, y1, dtype=np.float32) - v[k]
+        dx, dy = np.meshgrid(xs, ys)
+        c, s = np.cos(scene["theta"][k]), np.sin(scene["theta"][k])
+        rx = (c * dx + s * dy) / scene["sx"][k]
+        ry = (-s * dx + c * dy) / scene["sy"][k]
+        img[y0:y1, x0:x1] += scene["amp"][k] * np.exp(-0.5 * (rx * rx + ry * ry))
+    return np.clip(img, 0.0, 1.0)
+
+
+def orbit_poses(n_frames: int, radius: float = 0.8, step_deg: float = 2.0,
+                advance: float = 0.1):
+    """Slowly orbiting/advancing camera path (world->cam matrices)."""
+    poses = []
+    for i in range(n_frames):
+        a = np.deg2rad(step_deg * i)
+        c, s = np.cos(a), np.sin(a)
+        R = np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]], np.float32)
+        t = np.array(
+            [radius * np.sin(a) + advance * i * 0.3, 0.02 * i, 0.05 * i],
+            np.float32,
+        )
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        poses.append(T)
+    return np.stack(poses)
+
+
+def render_sequence(rng, n_frames: int = 12, width: int = 320, height: int = 240,
+                    n_blobs: int = 350, f_scale: float = 1.2):
+    """Full synthetic dataset: (images [N,H,W], poses_gt [N,4,4], intr [4])."""
+    f = f_scale * max(width, height)
+    intr = np.array([f, f, width / 2, height / 2], np.float32)
+    scene = make_blob_scene(rng, n_blobs=n_blobs)
+    poses = orbit_poses(n_frames)
+    images = np.stack([
+        render_view(scene, T, intr, width, height) for T in poses
+    ])
+    return images, poses, intr
