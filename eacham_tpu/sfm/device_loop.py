@@ -1,0 +1,112 @@
+"""Whole-reconstruction-on-device: the incremental loop as ONE XLA program.
+
+The reference's incremental loop is host-driven by necessity (pointer
+graph + GTSAM calls, apps/sfm/main.cpp:195-225). Here every stage is
+statically shaped, so the *entire* loop — next-best-view selection, PnP
+registration, two-pass triangulation, local bundle adjustment — runs as a
+single ``lax.while_loop`` on the TPU. The host dispatches once and reads
+back the finished scene: no per-frame host round-trips, which is the
+dominant cost when the host talks to the chip over a network tunnel.
+
+This file is the "HOT LOOP 3" replacement; the host-driven variant in
+pipeline.py remains for step-by-step debugging/verbose runs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from eacham_tpu.ba.core import BAConfig, refine_ba
+from eacham_tpu.sfm.pipeline import next_best_view, pnp_register, local_neighbors
+from eacham_tpu.sfm.scene import Scene, ba_problem_from_scene
+from eacham_tpu.sfm.triangulate import triangulate_frame
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "min_pnp_inliers", "min_ba_landmarks", "ba_cfg", "max_observers",
+        "n_hyp_pnp", "pnp_pair_only",
+    ),
+)
+def registration_sweep(
+    scene: Scene,
+    excluded: jnp.ndarray,       # [N] bool
+    pid_tbl: jnp.ndarray,        # [N, N] int32 pair-id lookup
+    key,
+    max_repr_error: float,
+    min_tri_angle: float,
+    min_pnp_inliers: int = 15,
+    min_ba_landmarks: int = 50,
+    ba_cfg: BAConfig = BAConfig(),
+    max_observers: int = 12,
+    n_hyp_pnp: int = 512,
+    pnp_pair_only: bool = False,
+):
+    """Register every reachable frame. Returns (scene, excluded, n_registered).
+
+    Per iteration (mirroring main.cpp:195-225):
+      next_best_view -> PnP (gate: min_pnp_inliers) -> triangulate(minObs=2)
+      -> local BA (gate: min_ba_landmarks) -> triangulate(minObs=3);
+      PnP failures mark the frame excluded, exactly like the driver's
+      excluded set (main.cpp:212-217).
+    """
+    N = scene.kp_mask.shape[0]
+
+    def do_register(op):
+        scene, cur, T = op
+        scene = scene._replace(
+            pose=scene.pose.at[cur].set(T),
+            pose_valid=scene.pose_valid.at[cur].set(True),
+        )
+        pid_row = pid_tbl[cur]
+        scene, _, _ = triangulate_frame(
+            scene, cur, pid_row, jnp.int32(2),
+            max_repr_error, min_tri_angle, max_observers=max_observers,
+        )
+        nb = local_neighbors(scene, cur)
+        prob = ba_problem_from_scene(scene, nb)
+        n_lm = jnp.sum(prob.pt_in_ba)
+
+        def run_ba(s):
+            poses, points, intr, _ = refine_ba(prob, ba_cfg)
+            return s._replace(pose=poses, points=points, intr=intr)
+
+        scene = jax.lax.cond(
+            n_lm >= min_ba_landmarks, run_ba, lambda s: s, scene
+        )
+        scene, _, _ = triangulate_frame(
+            scene, cur, pid_row, jnp.int32(3),
+            max_repr_error, min_tri_angle, max_observers=max_observers,
+        )
+        return scene
+
+    def body(state):
+        scene, excluded, key, n_reg, it, _ = state
+        prev, cur, score = next_best_view(scene, excluded)
+        has = score >= 0
+        key, k = jax.random.split(key)
+        T, n_inl = pnp_register(
+            scene, prev, cur, pid_tbl[cur], k,
+            threshold=4.0, n_hyp=n_hyp_pnp, pair_only=pnp_pair_only,
+        )
+        ok = has & (n_inl >= min_pnp_inliers)
+        scene = jax.lax.cond(
+            ok, do_register, lambda op: op[0], (scene, cur, T)
+        )
+        fail = has & (~ok)
+        excluded = excluded.at[cur].set(
+            jnp.where(fail, True, excluded[cur])
+        )
+        return scene, excluded, key, n_reg + ok.astype(jnp.int32), it + 1, has
+
+    def cond(state):
+        _, _, _, _, it, cont = state
+        return cont & (it < N)
+
+    init = (scene, excluded, key, jnp.int32(0), jnp.int32(0), jnp.asarray(True))
+    scene, excluded, _, n_reg, _, _ = jax.lax.while_loop(cond, body, init)
+    return scene, excluded, n_reg

@@ -72,6 +72,7 @@ class SfmOptions:
     # behavior switches
     pnp_pair_only: bool = False
     run_global_ba: bool = True
+    device_loop: bool = True   # run HOT LOOP 3 as one on-device while_loop
     seed: int = 0
 
     @property
@@ -287,6 +288,25 @@ def run_sfm(
 
     # ---- incremental loop (HOT LOOP 3, main.cpp:195-225) -----------------------
     excluded = jnp.zeros((N,), bool)
+    if opt.device_loop:
+        # the whole loop as ONE on-device program (see device_loop.py)
+        from eacham_tpu.sfm.device_loop import registration_sweep
+
+        key, k_sweep = jax.random.split(key)
+        scene, excluded, n_reg = registration_sweep(
+            scene, excluded, pid_tbl, k_sweep,
+            opt.max_repr_error, opt.min_tri_angle,
+            min_pnp_inliers=opt.min_pnp_inliers,
+            min_ba_landmarks=opt.min_ba_landmarks,
+            ba_cfg=refine_cfg,
+            max_observers=opt.max_observers,
+            n_hyp_pnp=opt.ransac_hyps_pnp,
+            pnp_pair_only=opt.pnp_pair_only,
+        )
+        log(f"device sweep: +{int(n_reg)} frames registered, "
+            f"{int(jnp.sum(excluded))} excluded")
+        return _finalize(scene, excluded, opt, global_cfg, i0, j0, N, log)
+
     n_registered = 2
     min_obs_2 = jnp.int32(2)
     min_obs_3 = jnp.int32(3)
@@ -332,7 +352,11 @@ def run_sfm(
             f"(merged {int(n_merged) + int(n_merged3)}){ba_txt}"
         )
 
-    # ---- global BA (main.cpp:227-231) -------------------------------------------
+    return _finalize(scene, excluded, opt, global_cfg, i0, j0, N, log)
+
+
+def _finalize(scene, excluded, opt: SfmOptions, global_cfg, i0, j0, N, log):
+    """Global BA (main.cpp:227-231) + run statistics."""
     if opt.run_global_ba and opt.global_max_iters > 0:
         scene, info = _ba(scene, scene.pose_valid, global_cfg, opt.min_ba_landmarks)
         if info is not None:
