@@ -1,0 +1,182 @@
+"""LightGlue-class attentional keypoint matcher (Flax + Pallas attention).
+
+First-party TPU replacement for the reference's ONNX LightGlue session
+(modules/onnx/lightglue/feature/FeatureMatcherLightglue.cpp:10-131, model
+``superpoint_lightglue2.onnx`` — weights absent from the snapshot,
+.MISSING_LARGE_BLOBS). I/O contract preserved:
+
+  * inputs: keypoints normalized to ~[-1, 1] by max(w,h)/2 around the
+    image center (NormalizeKeypoints, modules/base/tools/Tools2d.h:25-45),
+    256-d descriptors
+  * outputs: per-keypoint match index + score; matches kept when
+    score > 0.5 (FeatureMatcherLightglue.cpp:118) and mutual
+
+Architecture (LightGlue-style, re-designed not ported): L transformer
+layers of rotary-positional self-attention + cross-attention over the two
+keypoint sets, then a matchability head and a dual-softmax partial
+assignment. All attention runs through ``eacham_tpu.ops.attention`` (the
+fused Pallas kernel on TPU).
+
+Weights: ``init_params`` gives a random initialization;
+``save_params`` / ``load_params`` round-trip an .npz so trained or
+converted weights can be dropped in (training harness:
+eacham_tpu.features.deep.train).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from eacham_tpu.ops.attention import attention
+
+DIM = 256
+HEADS = 4
+HEAD_DIM = DIM // HEADS
+MATCH_THRESHOLD = 0.5     # FeatureMatcherLightglue.cpp:118
+
+
+def normalize_keypoints(uv: jnp.ndarray, width: float, height: float):
+    """Center + scale to ~[-1, 1] by max(w, h)/2 (Tools2d.h:25-45)."""
+    size = jnp.asarray([width, height], uv.dtype)
+    center = size / 2.0
+    scale = jnp.max(size) / 2.0
+    return (uv - center) / scale
+
+
+def _rotary(coords: jnp.ndarray, n_freq: int = HEAD_DIM // 4):
+    """2-D rotary embedding angles from normalized coords [..., 2]."""
+    freqs = 2.0 ** jnp.arange(n_freq, dtype=coords.dtype)   # [F]
+    ang = coords[..., None, :] * freqs[:, None]             # [..., F, 2]
+    return ang.reshape(*coords.shape[:-1], 2 * n_freq)      # [..., 2F]
+
+
+def _apply_rotary(x: jnp.ndarray, ang: jnp.ndarray):
+    """Rotate feature pairs of x [..., H, N, D] by angles ang [..., N, D/2]."""
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    cos = jnp.cos(ang)[..., None, :, :]
+    sin = jnp.sin(ang)[..., None, :, :]
+    return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], -1)
+
+
+class AttentionBlock(nn.Module):
+    """One residual attention unit (queries from x, keys/values from y)."""
+
+    @nn.compact
+    def __call__(self, x, y, mask_y, ang_x=None, ang_y=None):
+        B, N, _ = x.shape
+        q = nn.Dense(DIM, name="q")(x).reshape(B, N, HEADS, HEAD_DIM)
+        k = nn.Dense(DIM, name="k")(y).reshape(B, -1, HEADS, HEAD_DIM)
+        v = nn.Dense(DIM, name="v")(y).reshape(B, -1, HEADS, HEAD_DIM)
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        if ang_x is not None:
+            q = _apply_rotary(q, ang_x)
+            k = _apply_rotary(k, ang_y)
+        o = attention(q, k, v, mask_y)
+        o = o.transpose(0, 2, 1, 3).reshape(B, N, DIM)
+        o = nn.Dense(DIM, name="proj")(o)
+        # gated MLP on the concatenated message (LightGlue-style update)
+        m = nn.Dense(2 * DIM, name="mlp1")(jnp.concatenate([x, o], -1))
+        m = nn.gelu(m)
+        m = nn.Dense(DIM, name="mlp2")(m)
+        return x + m
+
+
+class LightGlueMatcher(nn.Module):
+    """L layers of (rotary self-attn, cross-attn) + assignment heads."""
+
+    n_layers: int = 6
+
+    @nn.compact
+    def __call__(self, kps0, desc0, mask0, kps1, desc1, mask1):
+        """kps: [B, N, 2] normalized; desc: [B, N, 256]; mask: [B, N].
+
+        Returns (scores [B, N0, N1] assignment probabilities,
+        matchability0 [B, N0], matchability1 [B, N1]).
+        """
+        in_proj = nn.Dense(DIM, name="in_proj")   # shared across both images
+        x0 = in_proj(desc0)
+        x1 = in_proj(desc1)
+        ang0 = _rotary(kps0)
+        ang1 = _rotary(kps1)
+
+        for i in range(self.n_layers):
+            x0 = AttentionBlock(name=f"self0_{i}")(x0, x0, mask0, ang0, ang0)
+            x1 = AttentionBlock(name=f"self1_{i}")(x1, x1, mask1, ang1, ang1)
+            x0n, x1n = x0, x1
+            x0 = AttentionBlock(name=f"cross0_{i}")(x0n, x1n, mask1)
+            x1 = AttentionBlock(name=f"cross1_{i}")(x1n, x0n, mask0)
+
+        f0 = nn.Dense(DIM, name="final0")(x0)
+        f1 = nn.Dense(DIM, name="final1")(x1)
+        m0 = nn.sigmoid(nn.Dense(1, name="match0")(x0))[..., 0]   # [B, N0]
+        m1 = nn.sigmoid(nn.Dense(1, name="match1")(x1))[..., 0]
+
+        sim = jnp.einsum("bnd,bmd->bnm", f0, f1) / (DIM ** 0.5)
+        neg = -1e9
+        sim = jnp.where(mask0[:, :, None] & mask1[:, None, :], sim, neg)
+        # dual-softmax partial assignment weighted by matchability
+        p0 = jax.nn.softmax(sim, axis=2)
+        p1 = jax.nn.softmax(sim, axis=1)
+        scores = p0 * p1 * m0[:, :, None] * m1[:, None, :]
+        scores = jnp.where(mask0[:, :, None] & mask1[:, None, :], scores, 0.0)
+        return scores, m0, m1
+
+
+def extract_matches(scores, mask0, mask1, threshold: float = MATCH_THRESHOLD):
+    """Assignment -> per-kp0 match index with mutual check + threshold.
+
+    Same decision rule the reference applies to ONNX outputs
+    (FeatureMatcherLightglue.cpp:94-124). Returns (idx [B, N0], valid).
+    """
+    best0 = jnp.argmax(scores, axis=2)                       # [B, N0]
+    best1 = jnp.argmax(scores, axis=1)                       # [B, N1]
+    s = jnp.take_along_axis(scores, best0[..., None], 2)[..., 0]
+    mutual = (
+        jnp.take_along_axis(best1, best0, axis=1)
+        == jnp.arange(scores.shape[1])[None, :]
+    )
+    valid = mutual & (s > threshold) & mask0
+    return best0.astype(jnp.int32), valid
+
+
+def init_params(key, n_layers: int = 6, n_kps: int = 64):
+    model = LightGlueMatcher(n_layers=n_layers)
+    kps = jnp.zeros((1, n_kps, 2))
+    desc = jnp.zeros((1, n_kps, DIM))
+    mask = jnp.ones((1, n_kps), bool)
+    return model.init(key, kps, desc, mask, kps, desc, mask)
+
+
+@partial(jax.jit, static_argnames=("n_layers", "threshold"))
+def match_deep(params, kps0, desc0, mask0, kps1, desc1, mask1,
+               n_layers: int = 6, threshold: float = MATCH_THRESHOLD):
+    """Full deep matching: returns (idx [B, N0], valid [B, N0], scores)."""
+    model = LightGlueMatcher(n_layers=n_layers)
+    scores, _, _ = model.apply(params, kps0, desc0, mask0, kps1, desc1, mask1)
+    idx, valid = extract_matches(scores, mask0, mask1, threshold)
+    return idx, valid, scores
+
+
+def save_params(path, params):
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    np.savez(path, **{
+        "/".join(str(k) for k in kp): np.asarray(v) for kp, v in flat
+    })
+
+
+def load_params(path, like):
+    """Load an .npz saved by save_params into the structure of ``like``."""
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(like)
+    leaves = []
+    for kp, v in flat:
+        key = "/".join(str(k) for k in kp)
+        leaves.append(jnp.asarray(data[key]))
+    return jax.tree_util.tree_unflatten(treedef, leaves)

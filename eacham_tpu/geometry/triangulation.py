@@ -26,8 +26,11 @@ def triangulate_dlt(T1: jnp.ndarray, T2: jnp.ndarray,
     normalized (K-free) image points. Returns (..., 3) world points.
 
     Equivalent of TriangulatePoint (Triangulator.cpp:49-63) — builds the
-    standard DLT system and takes the null vector, via eigh(A^T A) instead of
-    SVD(A) so it batches onto the MXU.
+    standard DLT system, solved in inhomogeneous form (A[:, :3] X = -A[:, 3])
+    through 3x3 normal equations with a closed-form adjugate inverse: no
+    iterative eigen/SVD kernel at all, pure fused arithmetic on the VPU.
+    Points at infinity (singular normal matrix) come back huge and are
+    rejected by the callers' depth/reprojection gates.
     """
     rows = []
     for T, xy in ((T1, xy1), (T2, xy2)):
@@ -36,13 +39,36 @@ def triangulate_dlt(T1: jnp.ndarray, T2: jnp.ndarray,
         p2 = T[..., 2, :]
         rows.append(xy[..., 0:1] * p2 - p0)
         rows.append(xy[..., 1:2] * p2 - p1)
-    A = jnp.stack(rows, axis=-2)  # (..., 4, 4)
-    AtA = jnp.swapaxes(A, -1, -2) @ A
-    _, vecs = jnp.linalg.eigh(AtA)
-    h = vecs[..., :, 0]  # eigenvector of the smallest eigenvalue
-    w = h[..., 3]
-    w = jnp.where(jnp.abs(w) < _EPS, _EPS, w)
-    return h[..., :3] / w[..., None]
+    A = jnp.stack(rows, axis=-2)                      # (..., 4, 4)
+    B = A[..., :3]                                    # (..., 4, 3)
+    b = -A[..., 3]                                    # (..., 4)
+    M = jnp.swapaxes(B, -1, -2) @ B                   # (..., 3, 3)
+    rhs = jnp.einsum("...ij,...i->...j", B, b)        # (..., 3)
+    return _solve3x3(M, rhs)
+
+
+def _solve3x3(M: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form solve of symmetric 3x3 systems (adjugate / Cramer)."""
+    m00, m01, m02 = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    m10, m11, m12 = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    m20, m21, m22 = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    c00 = m11 * m22 - m12 * m21
+    c01 = m12 * m20 - m10 * m22
+    c02 = m10 * m21 - m11 * m20
+    det = m00 * c00 + m01 * c01 + m02 * c02
+    det = jnp.where(jnp.abs(det) < _EPS, _EPS, det)
+    c10 = m02 * m21 - m01 * m22
+    c11 = m00 * m22 - m02 * m20
+    c12 = m01 * m20 - m00 * m21
+    c20 = m01 * m12 - m02 * m11
+    c21 = m02 * m10 - m00 * m12
+    c22 = m00 * m11 - m01 * m10
+    x = jnp.stack([
+        c00 * b[..., 0] + c10 * b[..., 1] + c20 * b[..., 2],
+        c01 * b[..., 0] + c11 * b[..., 1] + c21 * b[..., 2],
+        c02 * b[..., 0] + c12 * b[..., 1] + c22 * b[..., 2],
+    ], axis=-1)
+    return x / det[..., None]
 
 
 def triangulation_angle(T1: jnp.ndarray, T2: jnp.ndarray,

@@ -99,3 +99,11 @@ def masked_attention_reference(q, k, v, mask_kv):
     p = jax.nn.softmax(s, axis=-1)
     p = jnp.where(mask_kv[:, None, None, :], p, 0.0)
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def attention(q, k, v, mask_kv):
+    """Backend-dispatching masked attention: the Pallas kernel on TPU, the
+    fused-by-XLA jnp path elsewhere (CPU tests, interpret-free)."""
+    if jax.default_backend() == "tpu":
+        return masked_attention(q, k, v, mask_kv)
+    return masked_attention_reference(q, k, v, mask_kv)

@@ -1,0 +1,95 @@
+"""Deep frontend contract tests (architecture-level; weights are random
+here — training lives in eacham_tpu.features.deep.train)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eacham_tpu.features.deep import lightglue as lg
+from eacham_tpu.features.deep import superpoint as sp
+
+
+@pytest.fixture(scope="module")
+def lg_params():
+    return lg.init_params(jax.random.PRNGKey(0), n_layers=2, n_kps=32)
+
+
+@pytest.fixture(scope="module")
+def sp_params():
+    return sp.init_params(jax.random.PRNGKey(0))
+
+
+def test_normalize_keypoints():
+    uv = jnp.asarray([[0.0, 0.0], [640.0, 480.0], [320.0, 240.0]])
+    out = np.asarray(lg.normalize_keypoints(uv, 640, 480))
+    # center/scale by max(w,h)/2 (Tools2d.h:25-45)
+    np.testing.assert_allclose(out[2], [0.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(out[0], [-1.0, -0.75], atol=1e-6)
+    np.testing.assert_allclose(out[1], [1.0, 0.75], atol=1e-6)
+
+
+def test_matcher_shapes_and_threshold(lg_params, rng):
+    B, N = 2, 32
+    kps0 = jnp.asarray(rng.uniform(-1, 1, (B, N, 2)).astype(np.float32))
+    kps1 = jnp.asarray(rng.uniform(-1, 1, (B, N, 2)).astype(np.float32))
+    d0 = jnp.asarray(rng.normal(size=(B, N, 256)).astype(np.float32))
+    d1 = jnp.asarray(rng.normal(size=(B, N, 256)).astype(np.float32))
+    m0 = jnp.ones((B, N), bool).at[0, -5:].set(False)
+    m1 = jnp.ones((B, N), bool).at[1, :3].set(False)
+    idx, valid, scores = lg.match_deep(
+        lg_params, kps0, d0, m0, kps1, d1, m1, n_layers=2
+    )
+    assert idx.shape == (B, N) and valid.shape == (B, N)
+    s = np.asarray(scores)
+    assert s.shape == (B, N, N)
+    assert np.all(s >= 0) and np.all(s <= 1)
+    # masked rows can never be valid matches; masked cols get zero score
+    assert not np.asarray(valid)[0, -5:].any()
+    assert np.all(s[1, :, :3] == 0)
+    # every reported match clears the 0.5 gate (cpp:118)
+    v = np.asarray(valid)
+    picked = np.take_along_axis(s, np.asarray(idx)[..., None], 2)[..., 0]
+    assert np.all(picked[v] > 0.5) if v.any() else True
+
+
+def test_matcher_mask_invariance(lg_params, rng):
+    """Padded-slot contents must not affect live outputs."""
+    B, N = 1, 32
+    kps = jnp.asarray(rng.uniform(-1, 1, (B, N, 2)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(B, N, 256)).astype(np.float32))
+    m = jnp.ones((B, N), bool).at[0, 20:].set(False)
+    _, _, s1 = lg.match_deep(lg_params, kps, d, m, kps, d, m, n_layers=2)
+    d_garbage = d.at[0, 20:].set(999.0)
+    kps_garbage = kps.at[0, 20:].set(-77.0)
+    _, _, s2 = lg.match_deep(
+        lg_params, kps_garbage, d_garbage, m, kps_garbage, d_garbage, m,
+        n_layers=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1)[0, :20, :20], np.asarray(s2)[0, :20, :20], atol=1e-5
+    )
+
+
+def test_superpoint_contract(sp_params, rng):
+    B, H, W = 2, 64, 96
+    images = jnp.asarray(rng.random((B, H, W)).astype(np.float32))
+    xy, desc, score, mask = sp.extract_deep(
+        sp_params, images, max_keypoints=128, score_threshold=0.0
+    )
+    assert xy.shape == (B, 128, 2) and desc.shape == (B, 128, 256)
+    n = np.linalg.norm(np.asarray(desc), axis=-1)
+    live = np.asarray(mask)
+    np.testing.assert_allclose(n[live], 1.0, atol=1e-4)
+    uv = np.asarray(xy)
+    assert (uv[..., 0] < W).all() and (uv[..., 1] < H).all()
+
+
+def test_params_roundtrip(tmp_path, lg_params, rng):
+    p = tmp_path / "lg.npz"
+    lg.save_params(p, lg_params)
+    loaded = lg.load_params(p, lg_params)
+    a = jax.tree_util.tree_leaves(lg_params)
+    b = jax.tree_util.tree_leaves(loaded)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
