@@ -75,6 +75,15 @@ class BAConfig(NamedTuple):
     lambda_max: float = 1e8
     use_pose_priors: bool = True
     use_point_priors: bool = True
+    # "pcg": implicit Schur + block-Jacobi PCG (scales to any L, shards).
+    # "dense": materialize the reduced [6N+2] camera system and solve it
+    #   directly — one einsum + one dense solve per LM iteration instead of
+    #   ~cg_iters sequential operator applications; the TPU-right choice
+    #   whenever W = [L, N, 6, 3] fits (L * N * 72 bytes), e.g. every local
+    #   BA and small-to-mid global BA.
+    # "auto": dense when the W tensor is under dense_budget_bytes.
+    solver: str = "auto"
+    dense_budget_bytes: int = 512 * 1024 * 1024
 
 
 def _huber_sqrt_weight(r_norm: jnp.ndarray, k: float) -> jnp.ndarray:
@@ -217,18 +226,9 @@ def ba_cost(poses, points, intr, p: BAProblem, anchors=None, cfg: BAConfig = BAC
     return cost
 
 
-def _solve_schur_pcg(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig,
-                     axis_name: str | None = None):
-    """One LM linear solve.
-
-    Eliminates landmark blocks, runs PCG on the reduced (cams + K) system
-    applied implicitly, then back-substitutes the landmark updates.
-    Returns (d_cam [N,6], d_k [2], d_pt [L,3]).
-
-    With ``axis_name`` set (inside shard_map with the observation axis
-    sharded), every reduction over observations is psum'd so all devices
-    hold identical camera-system state; per-observation work stays local.
-    """
+def _blocks(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig,
+            axis_name: str | None = None):
+    """Shared linearized-system blocks for both Schur solvers."""
     N = p.poses.shape[0]
     L = p.points.shape[0]
     (r_pose, j_pose), (r_pt, j_pt), (r_k, j_k) = priors
@@ -276,8 +276,6 @@ def _solve_schur_pcg(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig,
     extra_diag_k = jnp.diagonal(Ukk) - jnp.diagonal(Ukk_obs)        # [2]
 
     Vinv = jnp.linalg.inv(V)                                        # [L,3,3]
-    Uinv = jnp.linalg.inv(U)                                        # [N,6,6] (preconditioner)
-    Ukk_inv = jnp.linalg.inv(Ukk)
 
     # --- gradients ----------------------------------------------------------
     b_c = -seg_c(jnp.einsum("oki,ok->oi", Jc, r), p.obs_cam) - r_pose * j_pose
@@ -291,6 +289,110 @@ def _solve_schur_pcg(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig,
     t = jnp.einsum("oki,oi->ok", Jp, h[p.obs_pt])                   # [O,2]
     b_red_c = b_c - seg_c(jnp.einsum("oki,ok->oi", Jc, t), p.obs_cam) * cam_w
     b_red_k = b_k - _reduce(jnp.einsum("oki,ok->i", Jk, t), axis_name)
+
+    return dict(
+        N=N, L=L, seg_c=seg_c, seg_p=seg_p,
+        cam_upd=cam_upd, cam_w=cam_w, pt_w=pt_w,
+        U=U, V=V, Ukk=Ukk, Vinv=Vinv,
+        extra_diag_c=extra_diag_c, extra_diag_k=extra_diag_k,
+        b_c=b_c, b_p=b_p, b_k=b_k, b_red_c=b_red_c, b_red_k=b_red_k,
+    )
+
+
+def _back_substitute(d_cam, d_k, blk, Jc, Jp, Jk, p):
+    """Landmark updates given camera/intrinsic updates."""
+    t = jnp.einsum("okj,oj->ok", Jc, d_cam[p.obs_cam]) + jnp.einsum(
+        "okj,j->ok", Jk, d_k
+    )
+    g = blk["b_p"] - blk["seg_p"](jnp.einsum("oki,ok->oi", Jp, t), p.obs_pt)
+    return jnp.einsum("lij,lj->li", blk["Vinv"], g) * blk["pt_w"]
+
+
+def _solve_schur_dense(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig,
+                       axis_name: str | None = None):
+    """One LM linear solve via the MATERIALIZED reduced camera system.
+
+    Builds W = [L, N, 6, 3] (one scatter-add), forms
+    S = U - W V^-1 W^T with two einsums on the MXU, and solves the dense
+    [6N+2] system directly — a handful of large operations instead of
+    ~cg_iters sequential operator applications. This is the right trade on
+    TPU whenever W fits in memory (every local BA; small/mid global BA);
+    the implicit-PCG path remains for huge L or heavy sharding.
+    """
+    blk = _blocks(r, Jc, Jp, Jk, priors, p, lam, cfg, axis_name)
+    N, L = blk["N"], blk["L"]
+    cam_w, cam_upd = blk["cam_w"], blk["cam_upd"]
+    Vinv = blk["Vinv"]
+
+    # frozen cams contribute nothing to the reduced system (their updates
+    # are pinned to zero), mirroring the PCG operator's vc_act masking
+    Jc_act = Jc * cam_w[p.obs_cam][:, None, :]
+
+    # W blocks, scattered by (landmark, camera) — one segment-sum each
+    Wc_flat = _reduce(
+        jax.ops.segment_sum(
+            jnp.einsum("oki,okj->oij", Jc_act, Jp),
+            p.obs_pt * N + p.obs_cam,
+            num_segments=L * N,
+        ),
+        axis_name,
+    )
+    Wc = Wc_flat.reshape(L, N, 6, 3)
+    Wk = blk["seg_p"](jnp.einsum("oki,okj->oij", Jk, Jp), p.obs_pt)  # [L,2,3]
+    # cam-K coupling (present in the implicit operator through t)
+    Uck = blk["seg_c"](jnp.einsum("oki,okj->oij", Jc_act, Jk), p.obs_cam)
+
+    Yc = jnp.einsum("lnab,lbc->lnac", Wc, Vinv)                    # [L,N,6,3]
+    Yk = jnp.einsum("lab,lbc->lac", Wk, Vinv)                      # [L,2,3]
+
+    S_cc = -jnp.einsum("lnac,lmbc->namb", Yc, Wc)                  # [N,6,N,6]
+    S_ck = Uck - jnp.einsum("lnac,lbc->nab", Yc, Wk)               # [N,6,2]
+    S_kk = blk["Ukk"] - jnp.einsum("lac,lbc->ab", Yk, Wk)          # [2,2]
+
+    # add the diagonal U blocks (which already encode damping, priors, and
+    # identity rows for frozen cameras)
+    ii = jnp.arange(N)
+    S_cc = S_cc.at[ii, :, ii, :].add(blk["U"])
+
+    n6 = 6 * N
+    A = jnp.zeros((n6 + 2, n6 + 2), r.dtype)
+    A = A.at[:n6, :n6].set(S_cc.reshape(n6, n6))
+    Sck = (S_ck * cam_w[:, :, None]).reshape(n6, 2)
+    A = A.at[:n6, n6:].set(Sck)
+    A = A.at[n6:, :n6].set(Sck.T)
+    A = A.at[n6:, n6:].set(S_kk)
+
+    b = jnp.concatenate([blk["b_red_c"].reshape(n6), blk["b_red_k"]])
+    dx = jnp.linalg.solve(A, b)
+    d_cam = dx[:n6].reshape(N, 6) * cam_w
+    d_k = dx[n6:]
+    d_pt = _back_substitute(d_cam, d_k, blk, Jc, Jp, Jk, p)
+    return d_cam, d_k, d_pt
+
+
+def _solve_schur_pcg(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig,
+                     axis_name: str | None = None):
+    """One LM linear solve.
+
+    Eliminates landmark blocks, runs PCG on the reduced (cams + K) system
+    applied implicitly, then back-substitutes the landmark updates.
+    Returns (d_cam [N,6], d_k [2], d_pt [L,3]).
+
+    With ``axis_name`` set (inside shard_map with the observation axis
+    sharded), every reduction over observations is psum'd so all devices
+    hold identical camera-system state; per-observation work stays local.
+    """
+    blk = _blocks(r, Jc, Jp, Jk, priors, p, lam, cfg, axis_name)
+    N, L = blk["N"], blk["L"]
+    seg_c, seg_p = blk["seg_c"], blk["seg_p"]
+    cam_upd, cam_w, pt_w = blk["cam_upd"], blk["cam_w"], blk["pt_w"]
+    U, Vinv, Ukk = blk["U"], blk["Vinv"], blk["Ukk"]
+    extra_diag_c, extra_diag_k = blk["extra_diag_c"], blk["extra_diag_k"]
+    b_c, b_p, b_k = blk["b_c"], blk["b_p"], blk["b_k"]
+    b_red_c, b_red_k = blk["b_red_c"], blk["b_red_k"]
+
+    Uinv = jnp.linalg.inv(U)                  # [N,6,6] (preconditioner)
+    Ukk_inv = jnp.linalg.inv(Ukk)
 
     # --- implicit S @ v ------------------------------------------------------
     def S_mv(vc, vk):
@@ -369,6 +471,18 @@ def refine_ba(p: BAProblem, cfg: BAConfig = BAConfig(),
     """
     anchors = (p.poses, p.points, p.intr)
 
+    # static solver choice: dense reduced system when W = [L, N, 6, 3] fits
+    # the budget (dominates on latency for local/medium BA), implicit PCG
+    # beyond that (scales to any L, stays cheap sharded)
+    if cfg.solver == "dense":
+        use_dense = True
+    elif cfg.solver == "pcg":
+        use_dense = False
+    else:
+        w_bytes = p.points.shape[0] * p.poses.shape[0] * 18 * 4
+        use_dense = w_bytes <= cfg.dense_budget_bytes
+    solve = _solve_schur_dense if use_dense else _solve_schur_pcg
+
     cost0 = ba_cost(p.poses, p.points, p.intr, p, anchors, cfg, axis_name)
 
     def cond(s):
@@ -379,7 +493,7 @@ def refine_ba(p: BAProblem, cfg: BAConfig = BAConfig(),
         i, poses, points, intr, lam, cost, done = s
         r, Jc, Jp, Jk, _ = _obs_linearize(poses, points, intr, p)
         priors = _prior_terms(poses, points, intr, p, anchors, cfg)
-        d_cam, d_k, d_pt = _solve_schur_pcg(
+        d_cam, d_k, d_pt = solve(
             r, Jc, Jp, Jk, priors, p, lam, cfg, axis_name
         )
 

@@ -1,0 +1,240 @@
+"""Self-supervised training for the deep frontend on synthetic scenes.
+
+The reference ships only stripped ONNX weight files
+(.MISSING_LARGE_BLOBS); with no network egress the weights cannot be
+re-downloaded, so the deep models are trained here from scratch the
+MagicPoint/SuperPoint way — on synthetic geometry with exact ground truth
+(eacham_tpu.utils.synthetic renders blob fields with known projections):
+
+  * detector: 65-way cell cross-entropy against GT keypoint cells
+  * descriptor field: InfoNCE across two views of the same scene —
+    corresponding locations attract, all others repel
+  * matcher: cross-entropy of the dual-softmax assignment against the GT
+    correspondence, + matchability BCE
+
+These produce functional weights for blob-world and a complete, scalable
+training path; swap the data generator for real imagery to reach
+production quality.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from eacham_tpu.features.deep.superpoint import SuperPointNet, CELL
+from eacham_tpu.features.deep.lightglue import LightGlueMatcher, normalize_keypoints
+from eacham_tpu.utils.synthetic import make_blob_scene, render_view
+
+
+# --------------------------------------------------------------------------
+# data generation
+# --------------------------------------------------------------------------
+
+def sample_pair(rng, width=160, height=120, n_blobs=60, max_kps=64):
+    """Two views of one blob scene + GT kp locations and correspondence."""
+    f = 1.2 * max(width, height)
+    intr = np.array([f, f, width / 2, height / 2], np.float32)
+    scene = make_blob_scene(rng, n_blobs=n_blobs, depth=(3.0, 7.0), spread=1.3)
+
+    def rand_pose():
+        T = np.eye(4, dtype=np.float32)
+        a = rng.uniform(-0.06, 0.06)
+        c, s = np.cos(a), np.sin(a)
+        T[:3, :3] = np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]], np.float32)
+        T[:3, 3] = rng.uniform(-0.25, 0.25, 3).astype(np.float32)
+        return T
+
+    T0, T1 = rand_pose(), rand_pose()
+    img0 = render_view(scene, T0, intr, width, height)
+    img1 = render_view(scene, T1, intr, width, height)
+
+    def project(T):
+        pc = scene["pts"] @ T[:3, :3].T + T[:3, 3]
+        u = f * pc[:, 0] / pc[:, 2] + intr[2]
+        v = f * pc[:, 1] / pc[:, 2] + intr[3]
+        vis = (pc[:, 2] > 0.5) & (u >= 4) & (u < width - 4) & (v >= 4) & (v < height - 4)
+        return np.stack([u, v], -1), vis
+
+    uv0, vis0 = project(T0)
+    uv1, vis1 = project(T1)
+    both = vis0 & vis1
+    idx = np.nonzero(both)[0][:max_kps]
+    k = len(idx)
+    kp0 = np.zeros((max_kps, 2), np.float32)
+    kp1 = np.zeros((max_kps, 2), np.float32)
+    kp0[:k] = uv0[idx]
+    kp1[:k] = uv1[idx]
+    mask = np.arange(max_kps) < k
+    return img0, img1, kp0, kp1, mask, (width, height)
+
+
+def make_batch(rng, batch=8, **kw):
+    outs = [sample_pair(rng, **kw) for _ in range(batch)]
+    img0 = np.stack([o[0] for o in outs])
+    img1 = np.stack([o[1] for o in outs])
+    kp0 = np.stack([o[2] for o in outs])
+    kp1 = np.stack([o[3] for o in outs])
+    mask = np.stack([o[4] for o in outs])
+    return img0, img1, kp0, kp1, mask, outs[0][5]
+
+
+# --------------------------------------------------------------------------
+# SuperPoint training
+# --------------------------------------------------------------------------
+
+def train_superpoint(steps=200, batch=8, lr=1e-3, seed=0, params=None,
+                     log_every=50, **data_kw):
+    """Returns trained params. Fast smoke: steps≈200; real: 10k+."""
+    from eacham_tpu.features.deep import superpoint as sp
+
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    if params is None:
+        params = sp.init_params(key)
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, img0, img1, kp0, kp1, mask):
+        def loss_fn(p):
+            return _sp_loss(p, img0, img1, kp0, kp1, mask)
+        (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(g, opt_state)
+        return optax.apply_updates(params, updates), opt_state, l, aux
+
+    losses = []
+    for i in range(steps):
+        img0, img1, kp0, kp1, mask, size = make_batch(rng, batch=batch, **data_kw)
+        params, opt_state, l, aux = step(
+            params, opt_state, jnp.asarray(img0), jnp.asarray(img1),
+            jnp.asarray(kp0), jnp.asarray(kp1), jnp.asarray(mask))
+        losses.append(float(l))
+        if log_every and i % log_every == 0:
+            print(f"[superpoint] step {i}: loss {float(l):.4f} "
+                  f"(det {float(aux['det']):.4f} desc {float(aux['desc']):.4f})",
+                  flush=True)
+    return params, losses
+
+
+def _sp_loss(params, img0, img1, kp0, kp1, mask):
+    """Loss using the public apply (heatmap + desc field)."""
+    from eacham_tpu.features.deep.superpoint import SuperPointNet, CELL, _bilinear_field
+
+    model = SuperPointNet()
+    B, H, W = img0.shape
+
+    def side(img, kps):
+        heat, desc_field = model.apply(params, img)
+        # detector: push heatmap mass onto GT pixels (soft CE on log-heat)
+        eps = 1e-8
+        def gather(hm, p):
+            xi = jnp.clip(p[:, 0].astype(jnp.int32), 0, W - 1)
+            yi = jnp.clip(p[:, 1].astype(jnp.int32), 0, H - 1)
+            return hm[yi, xi]
+        at_kp = jax.vmap(gather)(heat, kps)                  # [B, K]
+        det = -(jnp.log(at_kp + eps) * mask).sum() / jnp.maximum(mask.sum(), 1)
+
+        pts = kps / CELL
+        d = jax.vmap(lambda f, p: _bilinear_field(f, p[:, 0], p[:, 1]))(
+            desc_field, pts)
+        d = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-8)
+        return det, d
+
+    det0, d0 = side(img0, kp0)
+    det1, d1 = side(img1, kp1)
+
+    sim = jnp.einsum("bkd,bld->bkl", d0, d1) / 0.07
+    live = mask[:, :, None] & mask[:, None, :]
+    sim = jnp.where(live, sim, -1e9)
+    K = sim.shape[1]
+    tgt = jnp.broadcast_to(jnp.arange(K), sim.shape[:2])
+    ce_row = optax.softmax_cross_entropy_with_integer_labels(sim, tgt)
+    ce_col = optax.softmax_cross_entropy_with_integer_labels(
+        sim.transpose(0, 2, 1), tgt)
+    m = mask.astype(jnp.float32)
+    desc_l = ((ce_row + ce_col) * m).sum() / jnp.maximum(m.sum(), 1.0)
+    det = det0 + det1
+    return det + desc_l, {"det": det, "desc": desc_l}
+
+
+# --------------------------------------------------------------------------
+# LightGlue training
+# --------------------------------------------------------------------------
+
+def train_lightglue(steps=300, batch=8, lr=1e-3, n_layers=3, seed=0,
+                    params=None, log_every=50, noise=0.5, outlier_frac=0.3,
+                    n_kps=64, log=print):
+    """Train the matcher on synthetic correspondence sets: GT-corresponding
+    keypoints share a (noisy) random descriptor; outliers get fresh ones.
+    Loss: CE of the assignment matrix at GT pairs + matchability BCE."""
+    from eacham_tpu.features.deep import lightglue as lg
+
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    if params is None:
+        params = lg.init_params(key, n_layers=n_layers, n_kps=n_kps)
+    model = LightGlueMatcher(n_layers=n_layers)
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    def gen(rng):
+        B, N = batch, n_kps
+        kp0 = rng.uniform(-1, 1, (B, N, 2)).astype(np.float32)
+        # view 2 = slight affine warp of view 1 + jitter, shuffled
+        A = np.eye(2) + rng.normal(scale=0.05, size=(B, 1, 2, 2))
+        t = rng.normal(scale=0.2, size=(B, 1, 2))
+        kp1 = np.einsum("bnij,bnj->bni", np.broadcast_to(A, (B, N, 2, 2)), kp0) + t
+        kp1 += rng.normal(scale=0.01, size=kp1.shape)
+        d = rng.normal(size=(B, N, 256)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        d0 = d + noise * rng.normal(size=d.shape).astype(np.float32)
+        d1 = d + noise * rng.normal(size=d.shape).astype(np.float32)
+        outlier = rng.random((B, N)) < outlier_frac
+        d_out = rng.normal(size=(B, N, 256)).astype(np.float32)
+        d1 = np.where(outlier[..., None], d_out, d1)
+        d0 /= np.linalg.norm(d0, axis=-1, keepdims=True)
+        d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+        perm = np.stack([rng.permutation(N) for _ in range(B)])
+        kp1 = np.take_along_axis(kp1, perm[..., None], 1)
+        d1 = np.take_along_axis(d1, perm[..., None], 1)
+        # gt[b, i] = position of i's partner in view 2 (or -1 if outlier)
+        inv = np.argsort(perm, axis=1)
+        gt = np.where(outlier, -1, inv)
+        return (kp0.astype(np.float32), d0, kp1.astype(np.float32), d1,
+                gt.astype(np.int32))
+
+    @jax.jit
+    def step(params, opt_state, kp0, d0, kp1, d1, gt):
+        mask = jnp.ones(kp0.shape[:2], bool)
+
+        def loss_fn(p):
+            scores, m0, m1 = model.apply(p, kp0, d0, mask, kp1, d1, mask)
+            eps = 1e-9
+            matched = gt >= 0
+            tgt = jnp.maximum(gt, 0)
+            picked = jnp.take_along_axis(scores, tgt[..., None], 2)[..., 0]
+            pos = -(jnp.log(picked + eps) * matched).sum() / jnp.maximum(
+                matched.sum(), 1)
+            bce0 = -(jnp.where(matched, jnp.log(m0 + eps),
+                               jnp.log(1 - m0 + eps))).mean()
+            return pos + 0.1 * bce0, (pos, bce0)
+
+        (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(g, opt_state)
+        return optax.apply_updates(params, updates), opt_state, l, aux
+
+    losses = []
+    for i in range(steps):
+        kp0, d0, kp1, d1, gt = gen(rng)
+        params, opt_state, l, aux = step(
+            params, opt_state, jnp.asarray(kp0), jnp.asarray(d0),
+            jnp.asarray(kp1), jnp.asarray(d1), jnp.asarray(gt))
+        losses.append(float(l))
+        if log_every and i % log_every == 0:
+            log(f"[lightglue] step {i}: loss {float(l):.4f}")
+    return params, losses

@@ -60,6 +60,52 @@ def list_images(directory: str | Path) -> list[Path]:
     return sorted(files)
 
 
+def _load_native(files: list[Path], workers: int, strict: bool):
+    """Batch decode through native/libeacham_native.so; None -> caller
+    falls back to PIL wholesale (lib unavailable / probe failed)."""
+    from eacham_tpu.io import native_loader as nl
+
+    if nl.get_lib() is None:
+        if strict:
+            raise RuntimeError("native loader requested but unavailable")
+        return None
+    dims = [nl.probe(f) for f in files]
+    if any(d is None for d in dims):
+        if strict:
+            raise RuntimeError("native loader cannot decode all inputs")
+        native_ok = [d is not None for d in dims]
+    else:
+        native_ok = [True] * len(files)
+    # fallback decode (PIL) for unsupported files to learn their dims
+    fallback = {}
+    for i, ok in enumerate(native_ok):
+        if not ok:
+            fallback[i] = _decode_one(files[i], False)[0]
+    H = max(
+        [d[1] for d in dims if d is not None]
+        + [g.shape[0] for g in fallback.values()]
+    )
+    W = max(
+        [d[0] for d in dims if d is not None]
+        + [g.shape[1] for g in fallback.values()]
+    )
+    out, sizes, status = nl.load_batch_native(files, H, W, workers=workers)
+    for i, g in fallback.items():
+        h, w = g.shape
+        out[i, :h, :w] = g
+        sizes[i] = (w, h)
+    for i, f in enumerate(files):
+        if status[i] != 0 and i not in fallback:
+            g = _decode_one(f, False)[0]
+            h, w = g.shape
+            out[i, :h, :w] = g[:out.shape[1], :out.shape[2]]
+            sizes[i] = (min(w, out.shape[2]), min(h, out.shape[1]))
+    return ImageBatch(
+        images=out, sizes=sizes, names=[f.name for f in files],
+        color_images=None,
+    )
+
+
 def _decode_one(path: Path, keep_color: bool):
     from PIL import Image
 
@@ -81,13 +127,24 @@ def load_image_dir(
     max_count: int = 0,
     keep_color: bool = False,
     workers: int = 8,
+    backend: str = "auto",     # "auto" | "native" | "pil"
 ) -> ImageBatch:
-    """Load a dataset directory into one padded batch."""
+    """Load a dataset directory into one padded batch.
+
+    ``backend="auto"`` uses the native C++ decoder pool
+    (native/image_loader.cpp — PNG/PPM/BMP) and falls back to PIL per
+    image for formats it reports unsupported (JPEG).
+    """
     files = list_images(directory)
     if max_count > 0:
         files = files[:max_count]
     if not files:
         raise FileNotFoundError(f"no {EXTENSIONS} images in {directory}")
+
+    if backend in ("auto", "native") and not keep_color:
+        result = _load_native(files, workers, strict=backend == "native")
+        if result is not None:
+            return result
 
     with ThreadPoolExecutor(max_workers=workers) as ex:
         decoded = list(ex.map(lambda p: _decode_one(p, keep_color), files))

@@ -62,6 +62,9 @@ def main():
     pi, ok, mij, vij, mji, vji = stage(
         "match", lambda: build_match_tables(dsc, msk, ratio=opt.match_ratio,
                                             min_matches=opt.min_matches))
+    pi, ok, mij, vij, mji, vji = (
+        jnp.asarray(x) for x in (pi, ok, mij, vij, mji, vji)
+    )
     scene = make_scene(kps, msk, pi, ok, mij, vij, mji, vji,
                        jnp.asarray(intr), lm_capacity=opt.lm_capacity)
     pid = jnp.asarray(pair_id_table(pi, n_frames))

@@ -102,3 +102,20 @@ def test_ba_cost_matches_manual(rng):
     prob = _make_problem(rng, poses, pts, intr, uv, pose_noise=0.0, pt_noise=0.0)
     c = float(ba_cost(prob.poses, prob.points, prob.intr, prob))
     assert c < 1e-4  # exact projections -> ~zero cost
+
+
+def test_dense_solver_matches_pcg(rng):
+    """The materialized reduced-system solver must agree with implicit PCG."""
+    from tests.test_parallel import _random_problem
+    from eacham_tpu.ba.core import BAConfig, refine_ba
+    import numpy as np
+
+    prob, _, _ = _random_problem(np.random.default_rng(3))
+    out_p = refine_ba(prob, BAConfig(max_iters=20, cg_iters=30, solver="pcg"))
+    out_d = refine_ba(prob, BAConfig(max_iters=20, solver="dense"))
+    np.testing.assert_allclose(
+        np.asarray(out_p[0]), np.asarray(out_d[0]), atol=2e-3
+    )
+    assert abs(float(out_p[3]["final_cost"]) - float(out_d[3]["final_cost"])) < max(
+        1e-2 * float(out_p[3]["final_cost"]), 1.0
+    )
