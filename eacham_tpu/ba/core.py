@@ -363,7 +363,11 @@ def _solve_schur_dense(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig,
     A = A.at[n6:, n6:].set(S_kk)
 
     b = jnp.concatenate([blk["b_red_c"].reshape(n6), blk["b_red_k"]])
-    dx = jnp.linalg.solve(A, b)
+    # S is SPD after LM damping -> Cholesky (TPU LU is ~4x slower here)
+    Lc = jnp.linalg.cholesky(A)
+    y = jax.scipy.linalg.solve_triangular(Lc, b, lower=True)
+    dx = jax.scipy.linalg.solve_triangular(Lc.T, y, lower=False)
+    dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
     d_cam = dx[:n6].reshape(N, 6) * cam_w
     d_k = dx[n6:]
     d_pt = _back_substitute(d_cam, d_k, blk, Jc, Jp, Jk, p)

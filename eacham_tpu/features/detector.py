@@ -133,7 +133,9 @@ def detect_keypoints(
     y = rem // W
     x = rem % W
 
-    # quadratic subpixel refinement along x and y on the chosen DoG level
+    # full 2-D quadratic subpixel refinement on the chosen DoG level:
+    # offset = -H^{-1} g with the cross term (independent per-axis parabolas
+    # bias anisotropic extrema; SIFT refines with the full Hessian)
     d = dog.reshape(-1)
 
     def val(si, yi, xi):
@@ -146,12 +148,23 @@ def detect_keypoints(
     dx0 = val(sidx, y, x - 1)
     dy1 = val(sidx, y + 1, x)
     dy0 = val(sidx, y - 1, x)
-    denx = dx1 + dx0 - 2 * c
-    deny = dy1 + dy0 - 2 * c
-    offx = jnp.where(jnp.abs(denx) > 1e-8, -0.5 * (dx1 - dx0) / denx, 0.0)
-    offy = jnp.where(jnp.abs(deny) > 1e-8, -0.5 * (dy1 - dy0) / deny, 0.0)
-    offx = jnp.clip(offx, -0.5, 0.5)
-    offy = jnp.clip(offy, -0.5, 0.5)
+    dpp = val(sidx, y + 1, x + 1)
+    dpm = val(sidx, y + 1, x - 1)
+    dmp = val(sidx, y - 1, x + 1)
+    dmm = val(sidx, y - 1, x - 1)
+
+    gx = 0.5 * (dx1 - dx0)
+    gy = 0.5 * (dy1 - dy0)
+    hxx = dx1 + dx0 - 2 * c
+    hyy = dy1 + dy0 - 2 * c
+    hxy = 0.25 * (dpp - dpm - dmp + dmm)
+    det = hxx * hyy - hxy * hxy
+    det_safe = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+    offx = -(hyy * gx - hxy * gy) / det_safe
+    offy = -(hxx * gy - hxy * gx) / det_safe
+    ok_off = (jnp.abs(det) > 1e-12) & (jnp.abs(offx) < 1.0) & (jnp.abs(offy) < 1.0)
+    offx = jnp.clip(jnp.where(ok_off, offx, 0.0), -0.5, 0.5)
+    offy = jnp.clip(jnp.where(ok_off, offy, 0.0), -0.5, 0.5)
 
     xy = jnp.stack(
         [x.astype(jnp.float32) + offx, y.astype(jnp.float32) + offy], axis=-1

@@ -101,9 +101,37 @@ def masked_attention_reference(q, k, v, mask_kv):
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
 
+@jax.custom_vjp
 def attention(q, k, v, mask_kv):
     """Backend-dispatching masked attention: the Pallas kernel on TPU, the
-    fused-by-XLA jnp path elsewhere (CPU tests, interpret-free)."""
+    fused-by-XLA jnp path elsewhere (CPU tests, interpret-free).
+
+    Differentiable: the backward pass recomputes the (masked) probabilities
+    and propagates standard softmax-attention gradients with einsums —
+    Pallas forward + XLA backward (guide pattern "Custom VJP")."""
     if jax.default_backend() == "tpu":
         return masked_attention(q, k, v, mask_kv)
     return masked_attention_reference(q, k, v, mask_kv)
+
+
+def _attention_fwd(q, k, v, mask_kv):
+    return attention(q, k, v, mask_kv), (q, k, v, mask_kv)
+
+
+def _attention_bwd(res, g):
+    q, k, v, mask_kv = res
+    d = q.shape[-1]
+    scale = 1.0 / (d ** 0.5)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    s = jnp.where(mask_kv[:, None, None, :], s, NEG)
+    p = jax.nn.softmax(s, axis=-1)
+    p = jnp.where(mask_kv[:, None, None, :], p, 0.0)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g, v)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q) * scale
+    return dq, dk, dv, None
+
+
+attention.defvjp(_attention_fwd, _attention_bwd)

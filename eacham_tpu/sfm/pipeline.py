@@ -58,6 +58,11 @@ class SfmOptions:
     # bundle adjustment budgets
     refine_max_iters: int = 100       # json:31
     refine_tolerance: float = 1e-5    # json:32
+    # per-frame local BA runs inside the device sweep; it does not need to
+    # converge fully (global BA finishes the job), so its budget is capped
+    # separately — the dominant knob for registration throughput
+    local_ba_max_iters: int = 12
+    local_ba_tolerance: float = 1e-4
     global_max_iters: int = 150       # json:38
     global_tolerance: float = 1e-7    # json:39
     min_ba_landmarks: int = 50        # BundleAdjuster.cpp:166
@@ -73,6 +78,9 @@ class SfmOptions:
     pnp_pair_only: bool = False
     run_global_ba: bool = True
     device_loop: bool = True   # run HOT LOOP 3 as one on-device while_loop
+    # outlier-observation pruning around global BA (deviation from the
+    # reference, which never prunes — strictly improves robustness)
+    prune_outliers: bool = True
     seed: int = 0
 
     @property
@@ -280,7 +288,8 @@ def run_sfm(
     scene = seed_initial_pair(scene, pair_row, init.T, init.points, init.point_ok)
 
     refine_cfg = BAConfig(
-        max_iters=opt.refine_max_iters, tolerance=opt.refine_tolerance,
+        max_iters=min(opt.refine_max_iters, opt.local_ba_max_iters),
+        tolerance=max(opt.refine_tolerance, opt.local_ba_tolerance),
     )
     global_cfg = BAConfig(
         max_iters=opt.global_max_iters, tolerance=opt.global_tolerance,
@@ -358,6 +367,11 @@ def run_sfm(
 def _finalize(scene, excluded, opt: SfmOptions, global_cfg, i0, j0, N, log):
     """Global BA (main.cpp:227-231) + run statistics."""
     if opt.run_global_ba and opt.global_max_iters > 0:
+        if opt.prune_outliers:
+            from eacham_tpu.sfm.filtering import prune_observations
+
+            scene, n_obs, n_lm = prune_observations(scene, opt.max_repr_error)
+            log(f"prune: -{int(n_obs)} observations, -{int(n_lm)} landmarks")
         scene, info = _ba(scene, scene.pose_valid, global_cfg, opt.min_ba_landmarks)
         if info is not None:
             log(
@@ -365,6 +379,19 @@ def _finalize(scene, excluded, opt: SfmOptions, global_cfg, i0, j0, N, log):
                 f"{float(info['final_cost']):.1f} "
                 f"({int(info['iterations'])} iters)"
             )
+        if opt.prune_outliers and info is not None:
+            from eacham_tpu.sfm.filtering import prune_observations
+
+            scene, n_obs, n_lm = prune_observations(scene, opt.max_repr_error)
+            scene, info2 = _ba(
+                scene, scene.pose_valid, global_cfg, opt.min_ba_landmarks
+            )
+            if info2 is not None:
+                log(
+                    f"global BA 2 (post-prune -{int(n_obs)} obs): "
+                    f"{float(info2['initial_cost']):.1f} -> "
+                    f"{float(info2['final_cost']):.1f}"
+                )
 
     stats = {
         "registered": int(jnp.sum(scene.pose_valid)),
