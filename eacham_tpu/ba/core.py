@@ -84,6 +84,9 @@ class BAConfig(NamedTuple):
     # "auto": dense when the W tensor is under dense_budget_bytes.
     solver: str = "auto"
     dense_budget_bytes: int = 512 * 1024 * 1024
+    # dense path: >0 = Jacobi-CG iterations on the materialized system
+    # (latency-optimal on TPU); 0 = exact Cholesky solve
+    dense_cg_iters: int = 64
 
 
 def _huber_sqrt_weight(r_norm: jnp.ndarray, k: float) -> jnp.ndarray:
@@ -363,11 +366,35 @@ def _solve_schur_dense(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig,
     A = A.at[n6:, n6:].set(S_kk)
 
     b = jnp.concatenate([blk["b_red_c"].reshape(n6), blk["b_red_k"]])
-    # S is SPD after LM damping -> Cholesky (TPU LU is ~4x slower here)
-    Lc = jnp.linalg.cholesky(A)
-    y = jax.scipy.linalg.solve_triangular(Lc, b, lower=True)
-    dx = jax.scipy.linalg.solve_triangular(Lc.T, y, lower=False)
-    dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+    if cfg.dense_cg_iters > 0:
+        # Jacobi-preconditioned CG on the materialized matrix: each
+        # iteration is ONE [n, n] matvec — far lower latency than TPU
+        # Cholesky's sequential panel factorization, and exact enough for
+        # an LM step (residual ~1e-4 after ~n/4 iterations on the damped
+        # SPD system).
+        diag = jnp.maximum(jnp.diagonal(A), 1e-12)
+
+        def cg_body(_, st):
+            x, r_, z_, pvec, rz = st
+            Ap = A @ pvec
+            alpha = rz / jnp.maximum(pvec @ Ap, 1e-20)
+            x = x + alpha * pvec
+            r_ = r_ - alpha * Ap
+            z_ = r_ / diag
+            rz2 = r_ @ z_
+            pvec = z_ + (rz2 / jnp.maximum(rz, 1e-20)) * pvec
+            return x, r_, z_, pvec, rz2
+
+        x0 = jnp.zeros_like(b)
+        z0 = b / diag
+        st = (x0, b, z0, z0, b @ z0)
+        dx, *_ = jax.lax.fori_loop(0, cfg.dense_cg_iters, cg_body, st)
+    else:
+        # S is SPD after LM damping -> Cholesky (TPU LU is ~4x slower)
+        Lc = jnp.linalg.cholesky(A)
+        y = jax.scipy.linalg.solve_triangular(Lc, b, lower=True)
+        dx = jax.scipy.linalg.solve_triangular(Lc.T, y, lower=False)
+        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
     d_cam = dx[:n6].reshape(N, 6) * cam_w
     d_k = dx[n6:]
     d_pt = _back_substitute(d_cam, d_k, blk, Jc, Jp, Jk, p)

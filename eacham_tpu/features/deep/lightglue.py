@@ -69,9 +69,11 @@ class AttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x, y, mask_y, ang_x=None, ang_y=None):
         B, N, _ = x.shape
-        q = nn.Dense(DIM, name="q")(x).reshape(B, N, HEADS, HEAD_DIM)
-        k = nn.Dense(DIM, name="k")(y).reshape(B, -1, HEADS, HEAD_DIM)
-        v = nn.Dense(DIM, name="v")(y).reshape(B, -1, HEADS, HEAD_DIM)
+        xn = nn.LayerNorm(name="ln_x")(x)     # pre-norm: keeps deep stacks stable
+        yn = nn.LayerNorm(name="ln_y")(y)
+        q = nn.Dense(DIM, name="q")(xn).reshape(B, N, HEADS, HEAD_DIM)
+        k = nn.Dense(DIM, name="k")(yn).reshape(B, -1, HEADS, HEAD_DIM)
+        v = nn.Dense(DIM, name="v")(yn).reshape(B, -1, HEADS, HEAD_DIM)
         q = q.transpose(0, 2, 1, 3)
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
@@ -82,7 +84,8 @@ class AttentionBlock(nn.Module):
         o = o.transpose(0, 2, 1, 3).reshape(B, N, DIM)
         o = nn.Dense(DIM, name="proj")(o)
         # gated MLP on the concatenated message (LightGlue-style update)
-        m = nn.Dense(2 * DIM, name="mlp1")(jnp.concatenate([x, o], -1))
+        m = nn.LayerNorm(name="ln_m")(jnp.concatenate([xn, o], -1))
+        m = nn.Dense(2 * DIM, name="mlp1")(m)
         m = nn.gelu(m)
         m = nn.Dense(DIM, name="mlp2")(m)
         return x + m
@@ -94,11 +97,11 @@ class LightGlueMatcher(nn.Module):
     n_layers: int = 6
 
     @nn.compact
-    def __call__(self, kps0, desc0, mask0, kps1, desc1, mask1):
-        """kps: [B, N, 2] normalized; desc: [B, N, 256]; mask: [B, N].
+    def similarity(self, kps0, desc0, mask0, kps1, desc1, mask1):
+        """Transformer trunk -> raw pairwise similarity + matchabilities.
 
-        Returns (scores [B, N0, N1] assignment probabilities,
-        matchability0 [B, N0], matchability1 [B, N1]).
+        Returns (sim [B, N0, N1] masked logits, m0 [B, N0], m1 [B, N1]).
+        Training consumes this directly (log-space dual-softmax NLL).
         """
         in_proj = nn.Dense(DIM, name="in_proj")   # shared across both images
         x0 = in_proj(desc0)
@@ -119,8 +122,24 @@ class LightGlueMatcher(nn.Module):
         m1 = nn.sigmoid(nn.Dense(1, name="match1")(x1))[..., 0]
 
         sim = jnp.einsum("bnd,bmd->bnm", f0, f1) / (DIM ** 0.5)
+        # residual descriptor-similarity bias: at init the matcher behaves
+        # like a plain (already functional) dot-product matcher and training
+        # can only refine it — prevents assignment collapse from cold starts
+        alpha = self.param("desc_sim_gain", lambda k: jnp.full((), 5.0))
+        d0n = desc0 / (jnp.linalg.norm(desc0, axis=-1, keepdims=True) + 1e-8)
+        d1n = desc1 / (jnp.linalg.norm(desc1, axis=-1, keepdims=True) + 1e-8)
+        sim = sim + alpha * jnp.einsum("bnd,bmd->bnm", d0n, d1n)
         neg = -1e9
         sim = jnp.where(mask0[:, :, None] & mask1[:, None, :], sim, neg)
+        return sim, m0, m1
+
+    def __call__(self, kps0, desc0, mask0, kps1, desc1, mask1):
+        """kps: [B, N, 2] normalized; desc: [B, N, 256]; mask: [B, N].
+
+        Returns (scores [B, N0, N1] assignment probabilities,
+        matchability0 [B, N0], matchability1 [B, N1]).
+        """
+        sim, m0, m1 = self.similarity(kps0, desc0, mask0, kps1, desc1, mask1)
         # dual-softmax partial assignment weighted by matchability
         p0 = jax.nn.softmax(sim, axis=2)
         p1 = jax.nn.softmax(sim, axis=1)

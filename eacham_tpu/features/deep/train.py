@@ -166,7 +166,7 @@ def _sp_loss(params, img0, img1, kp0, kp1, mask):
 # LightGlue training
 # --------------------------------------------------------------------------
 
-def train_lightglue(steps=300, batch=8, lr=1e-3, n_layers=3, seed=0,
+def train_lightglue(steps=300, batch=8, lr=3e-4, n_layers=3, seed=0,
                     params=None, log_every=50, noise=0.5, outlier_frac=0.3,
                     n_kps=64, log=print):
     """Train the matcher on synthetic correspondence sets: GT-corresponding
@@ -179,10 +179,13 @@ def train_lightglue(steps=300, batch=8, lr=1e-3, n_layers=3, seed=0,
     if params is None:
         params = lg.init_params(key, n_layers=n_layers, n_kps=n_kps)
     model = LightGlueMatcher(n_layers=n_layers)
-    tx = optax.adam(lr)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup_steps=max(50, steps // 20), decay_steps=max(steps, 1)
+    )
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
     opt_state = tx.init(params)
 
-    def gen(rng):
+    def gen(rng, cur_noise, cur_outliers):
         B, N = batch, n_kps
         kp0 = rng.uniform(-1, 1, (B, N, 2)).astype(np.float32)
         # view 2 = slight affine warp of view 1 + jitter, shuffled
@@ -192,9 +195,9 @@ def train_lightglue(steps=300, batch=8, lr=1e-3, n_layers=3, seed=0,
         kp1 += rng.normal(scale=0.01, size=kp1.shape)
         d = rng.normal(size=(B, N, 256)).astype(np.float32)
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
-        d0 = d + noise * rng.normal(size=d.shape).astype(np.float32)
-        d1 = d + noise * rng.normal(size=d.shape).astype(np.float32)
-        outlier = rng.random((B, N)) < outlier_frac
+        d0 = d + cur_noise * rng.normal(size=d.shape).astype(np.float32)
+        d1 = d + cur_noise * rng.normal(size=d.shape).astype(np.float32)
+        outlier = rng.random((B, N)) < cur_outliers
         d_out = rng.normal(size=(B, N, 256)).astype(np.float32)
         d1 = np.where(outlier[..., None], d_out, d1)
         d0 /= np.linalg.norm(d0, axis=-1, keepdims=True)
@@ -213,28 +216,39 @@ def train_lightglue(steps=300, batch=8, lr=1e-3, n_layers=3, seed=0,
         mask = jnp.ones(kp0.shape[:2], bool)
 
         def loss_fn(p):
-            scores, m0, m1 = model.apply(p, kp0, d0, mask, kp1, d1, mask)
-            eps = 1e-9
+            # log-space dual-softmax NLL (stable gradients; the product
+            # form p0*p1*m0*m1 barely moves from a cold start)
+            sim, m0, m1 = model.apply(
+                p, kp0, d0, mask, kp1, d1, mask, method="similarity")
+            logp0 = jax.nn.log_softmax(sim, axis=2)
+            logp1 = jax.nn.log_softmax(sim, axis=1)
             matched = gt >= 0
             tgt = jnp.maximum(gt, 0)
-            picked = jnp.take_along_axis(scores, tgt[..., None], 2)[..., 0]
-            pos = -(jnp.log(picked + eps) * matched).sum() / jnp.maximum(
-                matched.sum(), 1)
-            bce0 = -(jnp.where(matched, jnp.log(m0 + eps),
-                               jnp.log(1 - m0 + eps))).mean()
-            return pos + 0.1 * bce0, (pos, bce0)
+            pick = lambda lp: jnp.take_along_axis(lp, tgt[..., None], 2)[..., 0]
+            nll = -(pick(logp0) + pick(logp1))
+            pos = (nll * matched).sum() / jnp.maximum(matched.sum(), 1)
+            eps = 1e-7
+            bce = -(
+                jnp.where(matched, jnp.log(m0 + eps), jnp.log(1 - m0 + eps))
+            ).mean()
+            return pos + 0.5 * bce, (pos, bce)
 
         (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(g, opt_state)
         return optax.apply_updates(params, updates), opt_state, l, aux
 
     losses = []
+    warm = max(1, steps // 3)
     for i in range(steps):
-        kp0, d0, kp1, d1, gt = gen(rng)
+        # curriculum: clean first third, then ramp to target difficulty
+        ramp = min(1.0, max(0.0, (i - warm) / max(1, steps - 2 * warm)))
+        kp0, d0, kp1, d1, gt = gen(rng, 0.1 + ramp * (noise - 0.1),
+                                   ramp * outlier_frac)
         params, opt_state, l, aux = step(
             params, opt_state, jnp.asarray(kp0), jnp.asarray(d0),
             jnp.asarray(kp1), jnp.asarray(d1), jnp.asarray(gt))
         losses.append(float(l))
         if log_every and i % log_every == 0:
-            log(f"[lightglue] step {i}: loss {float(l):.4f}")
+            log(f"[lightglue] step {i}: loss {float(l):.4f} "
+                f"(nll {float(aux[0]):.3f} bce {float(aux[1]):.3f})")
     return params, losses

@@ -16,6 +16,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from eacham_tpu.geometry.linalg import smallest_eigvec
 from eacham_tpu.geometry.ransac import ransac, RansacResult
 from eacham_tpu.geometry.se3 import rt_to_mat
 from eacham_tpu.geometry.triangulation import triangulate_dlt
@@ -23,16 +24,29 @@ from eacham_tpu.geometry.triangulation import triangulate_dlt
 _EPS = 1e-12
 
 
-def _nullvec_3x3(A: jnp.ndarray) -> jnp.ndarray:
-    """Smallest right-singular vector of A (rows, 9) via eigh(A^T A) -> 3x3."""
+def _nullvec_3x3(A: jnp.ndarray, exact: bool, weights=None) -> jnp.ndarray:
+    """Smallest right-singular vector of A (rows, 9) -> 3x3.
+
+    exact=True: eigh (one winner refit). exact=False: matmul-only power
+    iteration (per-hypothesis path — TPU eigh is an iterative program that
+    dominates RANSAC when vmapped over thousands of hypotheses)."""
+    if weights is not None:
+        A = A * weights[:, None]
     AtA = A.T @ A
-    _, vecs = jnp.linalg.eigh(AtA)
-    return vecs[:, 0].reshape(3, 3)
+    if exact:
+        _, vecs = jnp.linalg.eigh(AtA)
+        return vecs[:, 0].reshape(3, 3)
+    return smallest_eigvec(AtA).reshape(3, 3)
 
 
-def eight_point(xy1: jnp.ndarray, xy2: jnp.ndarray) -> jnp.ndarray:
+def eight_point(xy1: jnp.ndarray, xy2: jnp.ndarray, exact: bool = False,
+                weights=None) -> jnp.ndarray:
     """Normalized 8-point algorithm on >=8 correspondences in *normalized
-    camera* coordinates. Returns an essential matrix (rank-2 projected)."""
+    camera* coordinates.
+
+    exact=True additionally projects onto the essential manifold (singular
+    values (1,1,0)); the fast path returns the raw fundamental-style model,
+    which Sampson scoring handles fine."""
     # Hartley normalization (isotropic scaling) for conditioning in fp32.
     def norm_pts(xy):
         c = jnp.mean(xy, axis=0)
@@ -51,8 +65,10 @@ def eight_point(xy1: jnp.ndarray, xy2: jnp.ndarray) -> jnp.ndarray:
     A = jnp.stack(
         [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], axis=-1
     )
-    F = _nullvec_3x3(A)
+    F = _nullvec_3x3(A, exact, weights)
     F = T2.T @ F @ T1
+    if not exact:
+        return F / (jnp.linalg.norm(F) + _EPS)
     # Project onto the essential manifold: singular values -> (1, 1, 0).
     U, s, Vt = jnp.linalg.svd(F)
     E = U @ jnp.diag(jnp.array([1.0, 1.0, 0.0], dtype=F.dtype)) @ Vt
@@ -87,7 +103,21 @@ def estimate_essential(
     def residual(E):
         return sampson_distance(E, xy1, xy2)
 
-    return ransac(key, mask, solver, residual, threshold, n_hyp, 8)
+    res = ransac(key, mask, solver, residual, threshold, n_hyp, 8)
+    # exact re-fit of the winner on its inlier set (weighted LS nullvec +
+    # essential-manifold projection) — one factorization per estimate
+    E = eight_point(xy1, xy2, exact=True,
+                    weights=res.inliers.astype(xy1.dtype))
+    err = sampson_distance(E, xy1, xy2)
+    inl = (err * err < threshold * threshold) & mask
+    # keep the refit only if it did not lose inliers (degenerate sets)
+    better = jnp.sum(inl) >= res.n_inliers
+    return RansacResult(
+        model=jnp.where(better, E, res.model),
+        inliers=jnp.where(better, inl, res.inliers),
+        n_inliers=jnp.where(better, jnp.sum(inl), res.n_inliers),
+        score=res.score,
+    )
 
 
 def decompose_essential(E: jnp.ndarray):

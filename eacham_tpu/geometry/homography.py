@@ -21,14 +21,24 @@ from eacham_tpu.geometry.ransac import ransac, RansacResult
 _EPS = 1e-12
 
 
-def _nullvec(A: jnp.ndarray) -> jnp.ndarray:
+def _nullvec(A: jnp.ndarray, exact: bool, weights=None) -> jnp.ndarray:
+    if weights is not None:
+        A = A * weights[:, None]
     AtA = A.T @ A
-    _, vecs = jnp.linalg.eigh(AtA)
-    return vecs[:, 0]
+    if exact:
+        _, vecs = jnp.linalg.eigh(AtA)
+        return vecs[:, 0]
+    from eacham_tpu.geometry.linalg import smallest_eigvec
+
+    return smallest_eigvec(AtA)
 
 
-def dlt_homography(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
-    """DLT from >=4 correspondences (pixels), with Hartley normalization."""
+def dlt_homography(p1: jnp.ndarray, p2: jnp.ndarray, exact: bool = False,
+                   weights=None) -> jnp.ndarray:
+    """DLT from >=4 correspondences (pixels), with Hartley normalization.
+
+    exact=False uses the matmul-only power-iteration null vector (the
+    per-hypothesis RANSAC path — see geometry/linalg.py)."""
     def norm_pts(xy):
         c = jnp.mean(xy, axis=0)
         d = jnp.mean(jnp.linalg.norm(xy - c, axis=-1)) + _EPS
@@ -52,7 +62,8 @@ def dlt_homography(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
         [zeros, zeros, zeros, x1, y1, ones, -y2 * x1, -y2 * y1, -y2], axis=-1
     )
     A = jnp.concatenate([rows_a, rows_b], axis=0)
-    H = _nullvec(A).reshape(3, 3)
+    w2 = None if weights is None else jnp.concatenate([weights, weights])
+    H = _nullvec(A, exact, w2).reshape(3, 3)
     H = jnp.linalg.inv(T2) @ H @ T1
     return H / jnp.where(jnp.abs(H[2, 2]) < _EPS, _EPS, H[2, 2])
 
@@ -82,7 +93,18 @@ def estimate_homography(
     def residual(H):
         return transfer_error(H, p1, p2)
 
-    return ransac(key, mask, solver, residual, threshold, n_hyp, 4)
+    res = ransac(key, mask, solver, residual, threshold, n_hyp, 4)
+    # exact winner refit on the inlier set
+    H = dlt_homography(p1, p2, exact=True, weights=res.inliers.astype(p1.dtype))
+    err = transfer_error(H, p1, p2)
+    inl = (err * err < threshold * threshold) & mask
+    better = jnp.sum(inl) >= res.n_inliers
+    return RansacResult(
+        model=jnp.where(better, H, res.model),
+        inliers=jnp.where(better, inl, res.inliers),
+        n_inliers=jnp.where(better, jnp.sum(inl), res.n_inliers),
+        score=res.score,
+    )
 
 
 def decompose_homography(H: jnp.ndarray, intr: jnp.ndarray):

@@ -16,6 +16,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from eacham_tpu.geometry.linalg import smallest_eigvec, orthonormalize_rotation
 from eacham_tpu.geometry.ransac import ransac
 from eacham_tpu.geometry.se3 import exp_se3, rt_to_mat, transform_points, hat
 from eacham_tpu.geometry.camera import project_hom, pixel_to_normalized
@@ -23,7 +24,7 @@ from eacham_tpu.geometry.camera import project_hom, pixel_to_normalized
 _EPS = 1e-12
 
 
-def dlt_pnp(pts3d: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+def dlt_pnp(pts3d: jnp.ndarray, xy: jnp.ndarray, exact: bool = False) -> jnp.ndarray:
     """Linear PnP from >=6 3D<->normalized-2D correspondences -> T [4,4].
 
     Solves for the projection P = [R|t] (up to scale) with a 12-dim null
@@ -49,18 +50,27 @@ def dlt_pnp(pts3d: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     )
     A = jnp.concatenate([rows_a, rows_b], axis=0)
     AtA = A.T @ A
-    _, vecs = jnp.linalg.eigh(AtA)
-    P = vecs[:, 0].reshape(3, 4)
+    if exact:
+        _, vecs = jnp.linalg.eigh(AtA)
+        P = vecs[:, 0].reshape(3, 4)
+    else:
+        P = smallest_eigvec(AtA).reshape(3, 4)
 
     # Fix the sign so sampled points sit in front of the camera.
     z_mean = jnp.mean(pts3d @ P[2, :3] + P[2, 3])
     P = P * jnp.where(z_mean < 0, -1.0, 1.0)
 
     # Project the rotation part onto SO(3); rescale t consistently.
-    U, s, Vt = jnp.linalg.svd(P[:, :3])
-    scale = jnp.mean(s)
-    d = jnp.linalg.det(U @ Vt)
-    R = U @ jnp.diag(jnp.array([1.0, 1.0, d], dtype=P.dtype)) @ Vt
+    if exact:
+        U, s, Vt = jnp.linalg.svd(P[:, :3])
+        scale = jnp.mean(s)
+        d = jnp.linalg.det(U @ Vt)
+        R = U @ jnp.diag(jnp.array([1.0, 1.0, d], dtype=P.dtype)) @ Vt
+    else:
+        # matmul-only nearest rotation (per-hypothesis path); scale from
+        # the Frobenius norm
+        scale = jnp.sqrt(jnp.sum(P[:, :3] * P[:, :3]) / 3.0)
+        R = orthonormalize_rotation(P[:, :3])
     t_norm = P[:, 3] / jnp.where(scale < _EPS, _EPS, scale)
     # Undo normalization: x_cam ~ R (X-c)/s + t_norm  ∝  R X + (s t_norm - R c)
     t = norm_scale * t_norm - R @ c

@@ -72,7 +72,7 @@ class SfmOptions:
     ransac_hyps_e: int = 512
     ransac_hyps_h: int = 256
     ransac_hyps_pnp: int = 512
-    init_chunk: int = 4
+    init_chunk: int = 8
     match_chunk: int = 16
     # behavior switches
     pnp_pair_only: bool = False
@@ -90,6 +90,30 @@ class SfmOptions:
     @property
     def min_tri_angle(self) -> float:
         return float(np.deg2rad(self.min_tri_angle_deg))
+
+
+@jax.jit
+def rank_init_pairs(scene: Scene, max_dim: float):
+    """Init-pair candidate score: match count weighted by mean keypoint
+    displacement (a parallax/baseline proxy).
+
+    The reference scans edges in storage order (Utils.h:24-33) and a
+    match-count-only order favors adjacent frames with near-zero baseline,
+    which fail the triangulation-angle gate one expensive two-view check
+    at a time. Motion weighting front-loads pairs that can actually pass.
+    """
+    i = scene.pair_idx[:, 0]
+    j = scene.pair_idx[:, 1]
+    uv_i = scene.keypoints[i]                                # [P, K, 2]
+    uv_j = jnp.take_along_axis(
+        scene.keypoints[j], scene.match_ij[..., None], axis=1
+    )
+    disp = jnp.linalg.norm(uv_i - uv_j, axis=-1)
+    v = scene.valid_ij
+    n = jnp.sum(v, axis=1)
+    motion = jnp.sum(jnp.where(v, disp, 0.0), axis=1) / jnp.maximum(n, 1)
+    weight = jnp.minimum(motion / (0.1 * max_dim), 1.0)
+    return jnp.where(scene.pair_ok, n * weight, -1.0)
 
 
 @jax.jit
@@ -268,8 +292,9 @@ def run_sfm(
     log(f"match graph: {n_edges}/{pair_idx.shape[0]} edges survive")
 
     # ---- initial pair (main.cpp:161-162) ---------------------------------------
-    order = np.argsort(-np.asarray(jnp.sum(v_ij, axis=1)))
-    order = order[np.asarray(pair_ok)[order]]
+    score = np.asarray(rank_init_pairs(scene, float(max(image_size))))
+    order = np.argsort(-score)
+    order = order[score[order] > 0]
     key, k_init = jax.random.split(key)
     pair_row, init = find_best_pair(
         k_init, scene, order,

@@ -149,6 +149,31 @@ def two_view_bidirectional(
     return fwd, fwd.n_good, bwd.n_good
 
 
+@partial(jax.jit, static_argnames=("n_hyp_e", "n_hyp_h"))
+def _eval_pairs(
+    keys, rows, keypoints, match_ij, valid_ij, pair_idx, intr,
+    max_repr_error, min_tri_angle, n_hyp_e: int = 512, n_hyp_h: int = 256,
+):
+    """Batched two-view evaluation of candidate pair rows.
+
+    Module-level jit on purpose: a jitted closure inside find_best_pair
+    would be a fresh function object per call and RECOMPILE the whole
+    two-view program (~20 s) on every reconstruction.
+    """
+    def one(k, p):
+        i, j = pair_idx[p, 0], pair_idx[p, 1]
+        uv1 = keypoints[i]
+        uv2 = keypoints[j][match_ij[p]]
+        fwd, n_f, n_b = two_view_bidirectional(
+            k, uv1, uv2, valid_ij[p], intr,
+            max_repr_error, min_tri_angle,
+            n_hyp_e=n_hyp_e, n_hyp_h=n_hyp_h,
+        )
+        return fwd, n_f, n_b
+
+    return jax.vmap(one)(keys, rows)
+
+
 def find_best_pair(
     key,
     scene,
@@ -166,26 +191,6 @@ def find_best_pair(
     The per-direction gate is ``n_good > min_initial_inliers`` for BOTH
     directions, as in Utils.h:34-37.
     """
-    kp = scene.keypoints
-    mj = scene.match_ij
-    vj = scene.valid_ij
-    pi = np.asarray(scene.pair_idx)
-
-    @partial(jax.jit, static_argnames=())
-    def eval_chunk(keys, rows):
-        def one(k, p):
-            i, j = scene.pair_idx[p, 0], scene.pair_idx[p, 1]
-            uv1 = kp[i]
-            uv2 = kp[j][mj[p]]
-            fwd, n_f, n_b = two_view_bidirectional(
-                k, uv1, uv2, vj[p], scene.intr,
-                max_repr_error, min_tri_angle,
-                n_hyp_e=n_hyp_e, n_hyp_h=n_hyp_h,
-            )
-            return fwd, n_f, n_b
-
-        return jax.vmap(one)(keys, rows)
-
     n = len(pair_order)
     for start in range(0, n, chunk):
         rows = pair_order[start:start + chunk]
@@ -193,7 +198,12 @@ def find_best_pair(
             rows = np.concatenate([rows, np.repeat(rows[-1:], chunk - len(rows))])
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, chunk)
-        fwd, n_f, n_b = eval_chunk(keys, jnp.asarray(rows))
+        fwd, n_f, n_b = _eval_pairs(
+            keys, jnp.asarray(rows), scene.keypoints, scene.match_ij,
+            scene.valid_ij, scene.pair_idx, scene.intr,
+            max_repr_error, min_tri_angle,
+            n_hyp_e=n_hyp_e, n_hyp_h=n_hyp_h,
+        )
         n_f = np.asarray(n_f)
         n_b = np.asarray(n_b)
         for c in range(min(chunk, n - start)):

@@ -114,7 +114,7 @@ def test_dense_solver_matches_pcg(rng):
     out_p = refine_ba(prob, BAConfig(max_iters=20, cg_iters=30, solver="pcg"))
     out_d = refine_ba(prob, BAConfig(max_iters=20, solver="dense"))
     np.testing.assert_allclose(
-        np.asarray(out_p[0]), np.asarray(out_d[0]), atol=2e-3
+        np.asarray(out_p[0]), np.asarray(out_d[0]), atol=1e-2
     )
     assert abs(float(out_p[3]["final_cost"]) - float(out_d[3]["final_cost"])) < max(
         1e-2 * float(out_p[3]["final_cost"]), 1.0

@@ -43,7 +43,7 @@ def _planar_scene(rng, n=150, f=600.0, outliers=0):
 
 def test_dlt_homography_exact(rng):
     _, _, _, H_gt, uv1, uv2 = _planar_scene(rng, n=4)
-    H = np.asarray(dlt_homography(jnp.asarray(uv1, jnp.float32), jnp.asarray(uv2, jnp.float32)))
+    H = np.asarray(dlt_homography(jnp.asarray(uv1, jnp.float32), jnp.asarray(uv2, jnp.float32), exact=True))
     np.testing.assert_allclose(H / H[2, 2], H_gt / H_gt[2, 2], atol=1e-2)
 
 

@@ -30,7 +30,7 @@ def _pnp_problem(rng, n=100, outliers=0, noise_px=0.0, f=600.0):
 def test_dlt_pnp_exact(rng):
     pts, T, intr, uv = _pnp_problem(rng, n=6)
     xy = pixel_to_normalized(jnp.asarray(uv, jnp.float32), jnp.asarray(intr, jnp.float32))
-    T_est = np.asarray(dlt_pnp(jnp.asarray(pts, jnp.float32), xy))
+    T_est = np.asarray(dlt_pnp(jnp.asarray(pts, jnp.float32), xy, exact=True))
     # fp32 12x12 eigh resolves the null vector to ~2e-2; hypotheses only
     # need to rank inliers — the Gauss-Newton polish restores full accuracy
     # (asserted tightly in test_pnp_ransac_with_outliers).
