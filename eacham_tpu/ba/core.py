@@ -36,6 +36,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from eacham_tpu.geometry.linalg import inv3x3
 from eacham_tpu.geometry.se3 import exp_se3, log_se3, hat
 
 _EPS = 1e-12
@@ -278,7 +279,7 @@ def _blocks(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig,
     )                                                               # [N,6]
     extra_diag_k = jnp.diagonal(Ukk) - jnp.diagonal(Ukk_obs)        # [2]
 
-    Vinv = jnp.linalg.inv(V)                                        # [L,3,3]
+    Vinv = inv3x3(V)                                                # [L,3,3]
 
     # --- gradients ----------------------------------------------------------
     b_c = -seg_c(jnp.einsum("oki,ok->oi", Jc, r), p.obs_cam) - r_pose * j_pose

@@ -195,8 +195,11 @@ def train_lightglue(steps=300, batch=8, lr=3e-4, n_layers=3, seed=0,
         kp1 += rng.normal(scale=0.01, size=kp1.shape)
         d = rng.normal(size=(B, N, 256)).astype(np.float32)
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
-        d0 = d + cur_noise * rng.normal(size=d.shape).astype(np.float32)
-        d1 = d + cur_noise * rng.normal(size=d.shape).astype(np.float32)
+        # noise scaled to per-component signal magnitude (1/sqrt(dim)):
+        # unscaled unit-variance noise would swamp a unit-norm descriptor
+        nscale = cur_noise / np.sqrt(d.shape[-1])
+        d0 = d + nscale * rng.normal(size=d.shape).astype(np.float32)
+        d1 = d + nscale * rng.normal(size=d.shape).astype(np.float32)
         outlier = rng.random((B, N)) < cur_outliers
         d_out = rng.normal(size=(B, N, 256)).astype(np.float32)
         d1 = np.where(outlier[..., None], d_out, d1)

@@ -62,6 +62,35 @@ def smallest_eigvec(A: jnp.ndarray, outer: int = 3, cg_iters: int = 12) -> jnp.n
     return v
 
 
+def inv3x3(M: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Closed-form batched 3x3 inverse (adjugate / determinant).
+
+    ``jnp.linalg.inv`` lowers to an LU program on TPU; for [L, 3, 3] blocks
+    (Schur landmark elimination) the adjugate is a handful of fused
+    elementwise ops instead.
+    """
+    m00, m01, m02 = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    m10, m11, m12 = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    m20, m21, m22 = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    c00 = m11 * m22 - m12 * m21
+    c01 = m12 * m20 - m10 * m22
+    c02 = m10 * m21 - m11 * m20
+    det = m00 * c00 + m01 * c01 + m02 * c02
+    det = jnp.where(jnp.abs(det) < eps, eps, det)
+    c10 = m02 * m21 - m01 * m22
+    c11 = m00 * m22 - m02 * m20
+    c12 = m01 * m20 - m00 * m21
+    c20 = m01 * m12 - m02 * m11
+    c21 = m02 * m10 - m00 * m12
+    c22 = m00 * m11 - m01 * m10
+    adj = jnp.stack([
+        jnp.stack([c00, c10, c20], -1),
+        jnp.stack([c01, c11, c21], -1),
+        jnp.stack([c02, c12, c22], -1),
+    ], -2)
+    return adj / det[..., None, None]
+
+
 def orthonormalize_rotation(M: jnp.ndarray, iters: int = 8) -> jnp.ndarray:
     """Nearest rotation to ``M`` [..., 3, 3] by Newton-Schulz polar
     iteration (converges when M is within ~a factor of 2 of orthogonal;

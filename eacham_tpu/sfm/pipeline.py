@@ -61,8 +61,8 @@ class SfmOptions:
     # per-frame local BA runs inside the device sweep; it does not need to
     # converge fully (global BA finishes the job), so its budget is capped
     # separately — the dominant knob for registration throughput
-    local_ba_max_iters: int = 12
-    local_ba_tolerance: float = 1e-4
+    local_ba_max_iters: int = 8
+    local_ba_tolerance: float = 3e-4
     global_max_iters: int = 150       # json:38
     global_tolerance: float = 1e-7    # json:39
     min_ba_landmarks: int = 50        # BundleAdjuster.cpp:166

@@ -35,8 +35,9 @@ def eval_lightglue(params, n_layers, rng, n_eval=20, noise=0.5,
         kp1 = kp0 @ A.T + rng.normal(scale=0.01, size=kp0.shape)
         d = rng.normal(size=(1, N, 256)).astype(np.float32)
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
-        d0 = d + noise * rng.normal(size=d.shape).astype(np.float32)
-        d1 = d + noise * rng.normal(size=d.shape).astype(np.float32)
+        nscale = noise / np.sqrt(d.shape[-1])
+        d0 = d + nscale * rng.normal(size=d.shape).astype(np.float32)
+        d1 = d + nscale * rng.normal(size=d.shape).astype(np.float32)
         outlier = rng.random((1, N)) < outlier_frac
         dd = rng.normal(size=(1, N, 256)).astype(np.float32)
         d1 = np.where(outlier[..., None], dd, d1)
