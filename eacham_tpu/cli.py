@@ -18,7 +18,8 @@ from pathlib import Path
 import numpy as np
 
 
-def run(config_path: str, max_keypoints: int = 1024, verbose: bool = True) -> dict:
+def run(config_path: str, max_keypoints: int = 1024, verbose: bool = True,
+        frontend: str = "classical", weights_dir: str | None = None) -> dict:
     import jax.numpy as jnp
     from eacham_tpu.features.frontend import extract_features
     from eacham_tpu.io.config import load_config
@@ -34,10 +35,15 @@ def run(config_path: str, max_keypoints: int = 1024, verbose: bool = True) -> di
     with BlockTimer("Load", verbose=verbose):
         batch = load_image_dir(cfg.images_path, max_count=cfg.max_data_size)
 
-    with BlockTimer("Extract", verbose=verbose):   # HOT LOOP 1 (main.cpp:72-79)
-        xy, desc, score, mask = extract_features(
-            jnp.asarray(batch.images), max_keypoints=max_keypoints
-        )
+    match_tables = None
+    if frontend == "deep":
+        match_tables, (xy, desc, score, mask) = _deep_frontend(
+            batch, max_keypoints, weights_dir, verbose)
+    else:
+        with BlockTimer("Extract", verbose=verbose):  # HOT LOOP 1 (main.cpp:72-79)
+            xy, desc, score, mask = extract_features(
+                jnp.asarray(batch.images), max_keypoints=max_keypoints
+            )
 
     opts = cfg.to_options(max_keypoints=max_keypoints)
     with BlockTimer("SfM", verbose=verbose):       # match + loop + BA
@@ -45,6 +51,7 @@ def run(config_path: str, max_keypoints: int = 1024, verbose: bool = True) -> di
             xy, desc, mask,
             image_size=(batch.width, batch.height),
             options=opts, verbose=verbose,
+            match_tables=match_tables,
         )
 
     # ---- export (main.cpp:237-264) -------------------------------------------
@@ -75,14 +82,61 @@ def run(config_path: str, max_keypoints: int = 1024, verbose: bool = True) -> di
     return stats
 
 
+def _deep_frontend(batch, max_keypoints, weights_dir, verbose):
+    """SuperPoint extraction + LightGlue all-pairs matching."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from eacham_tpu.features.deep import lightglue as lg
+    from eacham_tpu.features.deep import superpoint as sp
+    from eacham_tpu.features.deep.frontend import (
+        extract_deep_batch, match_all_pairs_deep,
+    )
+    from eacham_tpu.sfm.matches import all_pairs_index
+    from eacham_tpu.utils.timer import BlockTimer
+
+    wdir = Path(weights_dir or Path(__file__).resolve().parent.parent / "weights")
+    key = jax.random.PRNGKey(0)
+    sp_params = sp.init_params(key)
+    if (wdir / "superpoint.npz").exists():
+        sp_params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32),
+            lg.load_params(wdir / "superpoint.npz", sp_params))
+    n_layers = 3
+    meta = wdir / "lightglue.meta"
+    if meta.exists():
+        n_layers = int([l for l in meta.read_text().splitlines()
+                        if l.startswith("n_layers")][0].split("=")[1])
+    lg_params = lg.init_params(key, n_layers=n_layers)
+    if (wdir / "lightglue.npz").exists():
+        lg_params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32),
+            lg.load_params(wdir / "lightglue.npz", lg_params))
+
+    with BlockTimer("Extract(deep)", verbose=verbose):
+        feats = extract_deep_batch(
+            sp_params, jnp.asarray(batch.images), max_keypoints=max_keypoints)
+    xy, desc, score, mask = feats
+    with BlockTimer("Match(deep)", verbose=verbose):
+        pair_idx = jnp.asarray(all_pairs_index(batch.images.shape[0]))
+        tables = match_all_pairs_deep(
+            lg_params, xy, desc, mask, pair_idx,
+            (batch.width, batch.height), n_layers=n_layers)
+    return tables, feats
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="eacham_tpu SfM pipeline")
     ap.add_argument("config", help="path to SfmConfig-style JSON")
     ap.add_argument("--max-keypoints", type=int, default=1024)
+    ap.add_argument("--frontend", choices=["classical", "deep"],
+                    default="classical")
+    ap.add_argument("--weights", help="directory with deep-frontend .npz")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
     stats = run(args.config, max_keypoints=args.max_keypoints,
-                verbose=not args.quiet)
+                verbose=not args.quiet, frontend=args.frontend,
+                weights_dir=args.weights)
     return 0 if stats.get("initialized") else 1
 
 

@@ -1,0 +1,86 @@
+"""Deep frontend drop-in: SuperPoint-class extraction + LightGlue-class
+all-pairs matching with the classical pipeline's contracts.
+
+The reference wires its deep path through FeaturePipelineLightGlue
+(modules/onnx/lightglue/feature/FeaturePipelineLightGlue.h:8-26) but the
+shipped driver only ever uses SIFT+FLANN (apps/sfm/main.cpp:72-147; the
+LightGlue path lives in example binaries). Here the deep path is a
+first-class alternative: ``extract_deep`` already emits (xy, desc, score,
+mask) in the classical layout, and ``match_all_pairs_deep`` produces the
+same (match_j, match_valid, pair_ok) tables ``build_match_tables``
+consumes — so ``run_sfm`` runs unchanged on either frontend.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from eacham_tpu.features.deep import lightglue as lg
+from eacham_tpu.features.deep import superpoint as sp
+
+
+def pad_images_for_conv(images: jnp.ndarray) -> jnp.ndarray:
+    """Zero-pad [N, H, W] so H, W are multiples of the encoder stride."""
+    N, H, W = images.shape
+    H8 = -(-H // sp.CELL) * sp.CELL
+    W8 = -(-W // sp.CELL) * sp.CELL
+    if (H8, W8) == (H, W):
+        return images
+    return jnp.zeros((N, H8, W8), images.dtype).at[:, :H, :W].set(images)
+
+
+def extract_deep_batch(params, images, max_keypoints: int = 512,
+                       score_threshold: float = sp.SCORE_THRESHOLD):
+    """SuperPoint extraction on a frame batch (classical-contract output)."""
+    return sp.extract_deep(
+        params, pad_images_for_conv(images),
+        max_keypoints=max_keypoints, score_threshold=score_threshold,
+    )
+
+
+@partial(jax.jit, static_argnames=("n_layers", "chunk", "min_matches",
+                                   "image_size"))
+def match_all_pairs_deep(
+    params,
+    xy: jnp.ndarray,         # [N, K, 2] pixels
+    desc: jnp.ndarray,       # [N, K, 256]
+    kp_mask: jnp.ndarray,    # [N, K]
+    pair_idx: jnp.ndarray,   # [P, 2]
+    image_size: tuple,       # (w, h) for kp normalization
+    n_layers: int = 3,
+    min_matches: int = 30,
+    chunk: int = 4,
+):
+    """Exhaustive pair matching through the attentional matcher.
+
+    Same output contract as features.matching.match_all_pairs. ``chunk``
+    bounds concurrent transformer activations.
+    """
+    P = pair_idx.shape[0]
+    K = xy.shape[1]
+    w, h = image_size
+    kps_n = lg.normalize_keypoints(xy, float(w), float(h))
+
+    pad = (-P) % chunk
+    pair_padded = jnp.concatenate(
+        [pair_idx, jnp.zeros((pad, 2), pair_idx.dtype)], axis=0
+    )
+    pair_chunks = pair_padded.reshape(-1, chunk, 2)
+
+    def one_chunk(_, pairs):
+        i = pairs[:, 0]
+        j = pairs[:, 1]
+        idx, valid, _ = lg.match_deep(
+            params, kps_n[i], desc[i], kp_mask[i],
+            kps_n[j], desc[j], kp_mask[j], n_layers=n_layers,
+        )
+        return None, (idx, valid)
+
+    _, (mj, mv) = jax.lax.scan(one_chunk, None, pair_chunks)
+    match_j = mj.reshape(-1, K)[:P]
+    match_valid = mv.reshape(-1, K)[:P]
+    pair_ok = jnp.sum(match_valid, axis=-1) > min_matches
+    return match_j, match_valid, pair_ok

@@ -77,47 +77,62 @@ _CELL_R2 = (_CELL_POS[None, :] ** 2 + _CELL_POS[:, None] ** 2).reshape(-1)
 _CELL_WINDOW = np.exp(-_CELL_R2 / (2.0 * (GRID / 2.0) ** 2)).astype(np.float32)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("n_octaves",))
 def describe_keypoints(
     img: jnp.ndarray,        # [H, W] grayscale
-    xy: jnp.ndarray,         # [K, 2]
-    scale_idx: jnp.ndarray,  # [K] int32 DoG level
+    xy: jnp.ndarray,         # [K, 2] full-resolution pixels
+    scale_idx: jnp.ndarray,  # [K] int32 octave * (N_SCALES-1) + level
     mask: jnp.ndarray,       # [K] bool
+    n_octaves: int = 3,
 ):
-    """Returns L2-normalized descriptors [K, 256] (zeros where mask=False)."""
-    g, _ = build_scale_space(img)
+    """Returns L2-normalized descriptors [K, 256] (zeros where mask=False).
+
+    ``scale_idx`` follows the detector's multi-octave encoding; sampling
+    happens in the keypoint's own octave (coords / 2^o, per-level cell
+    size), so descriptor support scales with detected blob size.
+    """
     K = xy.shape[0]
 
     desc = jnp.zeros((K, GRID * GRID, BINS), jnp.float32)
-    for s in range(N_SCALES - 1):                     # DoG levels only
-        lvl = g[s]
-        gx = 0.5 * (jnp.roll(lvl, -1, axis=1) - jnp.roll(lvl, 1, axis=1))
-        gy = 0.5 * (jnp.roll(lvl, -1, axis=0) - jnp.roll(lvl, 1, axis=0))
-        mag = jnp.sqrt(gx * gx + gy * gy + 1e-12)
-        ori = jnp.arctan2(gy, gx)
+    cur = img
+    for o in range(n_octaves):
+        g, _ = build_scale_space(cur)
+        factor = float(2 ** o)
+        for s in range(N_SCALES - 1):                 # DoG levels only
+            lvl = g[s]
+            gx = 0.5 * (jnp.roll(lvl, -1, axis=1) - jnp.roll(lvl, 1, axis=1))
+            gy = 0.5 * (jnp.roll(lvl, -1, axis=0) - jnp.roll(lvl, 1, axis=0))
+            mag = jnp.sqrt(gx * gx + gy * gy + 1e-12)
+            ori = jnp.arctan2(gy, gx)
 
-        b = (ori / (2.0 * np.pi) + 0.5) * BINS
-        b0 = jnp.floor(b)
-        w1 = b - b0
-        b0i = b0.astype(jnp.int32) % BINS
-        b1i = (b0i + 1) % BINS
-        # orientation channel maps [BINS, H, W] — pure elementwise selects
-        ch = jnp.arange(BINS, dtype=jnp.int32)[:, None, None]
-        hist = mag * (1.0 - w1) * (b0i[None] == ch) + mag * w1 * (b1i[None] == ch)
+            b = (ori / (2.0 * np.pi) + 0.5) * BINS
+            b0 = jnp.floor(b)
+            w1 = b - b0
+            b0i = b0.astype(jnp.int32) % BINS
+            b1i = (b0i + 1) % BINS
+            # orientation channel maps [BINS, H, W] — elementwise selects
+            ch = jnp.arange(BINS, dtype=jnp.int32)[:, None, None]
+            hist = (mag * (1.0 - w1) * (b0i[None] == ch)
+                    + mag * w1 * (b1i[None] == ch))
 
-        cell = _cell_size(s)
-        hist = _depthwise_blur(hist, _gauss_kernel(0.5 * cell))
+            cell = _cell_size(s)
+            hist = _depthwise_blur(hist, _gauss_kernel(0.5 * cell))
 
-        # sample the 16 cell centers for every keypoint
-        samples = []
-        for cy in _CELL_POS:
-            for cx in _CELL_POS:
-                px = xy[:, 0] + cx * cell
-                py = xy[:, 1] + cy * cell
-                samples.append(_bilinear_chw(hist, px, py))    # [K, BINS]
-        d_s = jnp.stack(samples, axis=1)                       # [K, 16, BINS]
-        d_s = d_s * jnp.asarray(_CELL_WINDOW)[None, :, None]
-        desc = jnp.where((scale_idx == s)[:, None, None], d_s, desc)
+            # sample the 16 cell centers for every keypoint (octave coords)
+            samples = []
+            for cy in _CELL_POS:
+                for cx in _CELL_POS:
+                    px = xy[:, 0] / factor + cx * cell
+                    py = xy[:, 1] / factor + cy * cell
+                    samples.append(_bilinear_chw(hist, px, py))  # [K, BINS]
+            d_s = jnp.stack(samples, axis=1)                     # [K, 16, BINS]
+            d_s = d_s * jnp.asarray(_CELL_WINDOW)[None, :, None]
+            combined = o * (N_SCALES - 1) + s
+            desc = jnp.where(
+                (scale_idx == combined)[:, None, None], d_s, desc
+            )
+        if o + 1 < n_octaves:
+            cur = g[3][::2, ::2]
 
     desc = desc.reshape(K, DESC_DIM)
     # normalize -> clip 0.2 -> renormalize (standard SIFT illumination guard)

@@ -4,10 +4,13 @@ The reference delegates detection to OpenCV SIFT
 (modules/base/features/FeatureExtractorSift.cpp:6-26). The interface
 contract is only "keypoints + descriptors" (modules/base/features/
 IFeatureExtractor.h:14-19), so this is a TPU-first redesign, not a SIFT
-port: a fixed-size single-octave scale space (static shapes for XLA),
+port: a fixed-size multi-octave scale space (static shapes for XLA),
 extrema via max-pooling comparisons (VPU-friendly, no data-dependent
-loops), Hessian edge rejection, and a static top-K selection with masks
-instead of dynamic keypoint lists.
+loops), Hessian edge rejection, full 2-D quadratic subpixel refinement,
+and a static top-K selection with masks instead of dynamic keypoint
+lists. Octaves halve resolution (seeded from the sigma=2*SIGMA0 level,
+the standard SIFT cascade) and their detections merge into one global
+top-K with coordinates mapped back to full resolution.
 
 All stages batch over frames with vmap; convolutions are separable and
 land on the MXU/VPU.
@@ -88,22 +91,17 @@ def _edge_response_ok(dog_level: jnp.ndarray, edge_ratio: float = 10.0):
     return (det > 0) & (tr * tr * r < det * (r + 1.0) ** 2)
 
 
-@partial(jax.jit, static_argnames=("max_keypoints",))
-def detect_keypoints(
-    img: jnp.ndarray,              # [H, W] float32 grayscale in [0, 1]
-    max_keypoints: int = 1024,
-    contrast_threshold: float = 0.006,
-    border: int = 16,
+def _detect_in_dog(
+    dog: jnp.ndarray,              # [S, H, W] DoG stack of one octave
+    max_keypoints: int,
+    contrast_threshold: float,
+    border: int,
 ):
-    """Detect up to ``max_keypoints`` DoG extrema.
+    """Single-octave extrema detection + 2-D subpixel refinement.
 
-    Returns ``(xy [K, 2] float32 (x, y) pixels, scale_idx [K] int32 DoG
-    level, score [K], mask [K] bool)``. Slots beyond the number of
-    detections have mask=False (score -inf ordering puts them last).
+    Returns (xy [K, 2] octave pixels, scale_idx [K], score [K], mask [K]).
     """
-    H, W = img.shape
-    _, dog = build_scale_space(img)
-    S = dog.shape[0]
+    S, H, W = dog.shape
 
     resp = jnp.abs(dog)
     # 3D local maximum of |DoG|: spatial 3x3 on own level and both neighbors
@@ -171,3 +169,52 @@ def detect_keypoints(
     )
     xy = jnp.where(mask[:, None], xy, 0.0)
     return xy, sidx.astype(jnp.int32), jnp.where(mask, top_score, 0.0), mask
+
+
+N_OCTAVES = 3
+
+
+@partial(jax.jit, static_argnames=("max_keypoints", "n_octaves"))
+def detect_keypoints(
+    img: jnp.ndarray,              # [H, W] float32 grayscale in [0, 1]
+    max_keypoints: int = 1024,
+    contrast_threshold: float = 0.006,
+    border: int = 16,
+    n_octaves: int = N_OCTAVES,
+):
+    """Detect up to ``max_keypoints`` DoG extrema across octaves.
+
+    Returns ``(xy [K, 2] full-resolution pixels, scale_idx [K] int32 —
+    octave * (N_SCALES-1) + level, score [K], mask [K] bool)``. Octave
+    o+1 is seeded by subsampling octave o's sigma = 2*SIGMA0 level (the
+    SIFT cascade), so per-octave blurs stay short.
+    """
+    per_oct = []
+    cur = img
+    for o in range(n_octaves):
+        g, dog = build_scale_space(cur)
+        b = max(border >> o, 4)
+        xy, sidx, score, mask = _detect_in_dog(
+            dog, max_keypoints, contrast_threshold, b
+        )
+        factor = float(2 ** o)
+        per_oct.append((
+            xy * factor,
+            sidx + o * (N_SCALES - 1),
+            jnp.where(mask, score, -jnp.inf),
+            mask,
+        ))
+        if o + 1 < n_octaves:
+            cur = g[3][::2, ::2]      # sigma = 2*SIGMA0 level, halved
+
+    xy = jnp.concatenate([p[0] for p in per_oct])
+    sidx = jnp.concatenate([p[1] for p in per_oct])
+    score = jnp.concatenate([p[2] for p in per_oct])
+    top, pick = jax.lax.top_k(score, max_keypoints)
+    mask = jnp.isfinite(top)
+    return (
+        jnp.where(mask[:, None], xy[pick], 0.0),
+        sidx[pick].astype(jnp.int32),
+        jnp.where(mask, top, 0.0),
+        mask,
+    )

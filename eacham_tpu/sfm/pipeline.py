@@ -261,11 +261,16 @@ def run_sfm(
     intr: jnp.ndarray | None = None,
     options: SfmOptions = SfmOptions(),
     verbose: bool = True,
+    match_tables: tuple | None = None,
 ):
     """Full incremental reconstruction. Returns (scene, stats dict).
 
     Input features come from any frontend honoring the extractor contract
-    (modules/base/features/IFeatureExtractor.h:14-19).
+    (modules/base/features/IFeatureExtractor.h:14-19). By default pairs are
+    matched with the MXU descriptor matcher; pass ``match_tables =
+    (match_ij [P,K], valid_ij [P,K], pair_ok [P])`` (canonical i<j pair
+    order, e.g. from features.deep.frontend.match_all_pairs_deep) to plug
+    in a different matcher.
     """
     opt = options
     key = jax.random.PRNGKey(opt.seed)
@@ -276,10 +281,18 @@ def run_sfm(
             print("[sfm]", *a, flush=True)
 
     # ---- match graph (HOT LOOP 2, main.cpp:84-147) ----------------------------
-    pair_idx, pair_ok, m_ij, v_ij, m_ji, v_ji = build_match_tables(
-        descriptors, kp_mask, ratio=opt.match_ratio,
-        min_matches=opt.min_matches, chunk=opt.match_chunk,
-    )
+    if match_tables is None:
+        pair_idx, pair_ok, m_ij, v_ij, m_ji, v_ji = build_match_tables(
+            descriptors, kp_mask, ratio=opt.match_ratio,
+            min_matches=opt.min_matches, chunk=opt.match_chunk,
+        )
+    else:
+        from eacham_tpu.sfm.matches import all_pairs_index, invert_matches
+
+        m_ij, v_ij, pair_ok = match_tables
+        pair_idx = jnp.asarray(all_pairs_index(N))
+        v_ij = v_ij & pair_ok[:, None]
+        m_ji, v_ji = invert_matches(m_ij, v_ij)
     if intr is None:
         # K guess f = 1.2 * max(w, h) (utils::ImageToCameraParams, Utils.h:13-22)
         intr = intrinsics_from_image_size(image_size[0], image_size[1])

@@ -92,3 +92,33 @@ def test_match_pair_respects_masks(rng):
     # self-matching on the unmasked half should be near-perfect identity
     idx = np.where(valid)[0]
     assert (np.asarray(bj)[idx] == idx).mean() > 0.95
+
+
+def test_scale_invariant_matching(rng):
+    """Multi-octave: the same scene at 2x scale difference still matches."""
+    import numpy as np
+    import jax.numpy as jnp
+    from eacham_tpu.utils.synthetic import make_blob_scene, render_view
+    from eacham_tpu.features.frontend import extract_features
+    from eacham_tpu.features.matching import match_pair
+
+    scene = make_blob_scene(np.random.default_rng(4), n_blobs=150)
+    intr1 = np.array([400.0, 400.0, 160.0, 120.0], np.float32)
+    intr2 = intr1 * np.array([2.0, 2.0, 2.0, 2.0], np.float32)  # 2x zoom
+    T = np.eye(4, dtype=np.float32)
+    img1 = render_view(scene, T, intr1, 320, 240)
+    img2 = render_view(scene, T, intr2, 640, 480)   # double focal = 2x scale
+    # pad img1 into a 640x480 canvas for a uniform batch
+    batch = np.zeros((2, 480, 640), np.float32)
+    batch[0, :240, :320] = img1
+    batch[1] = img2
+    xy, desc, score, mask = extract_features(jnp.asarray(batch),
+                                             max_keypoints=256)
+    mj, valid = match_pair(desc[0], desc[1], mask[0], mask[1])
+    v = np.asarray(valid)
+    assert v.sum() > 30, f"only {v.sum()} matches across 2x scale"
+    # matched coordinates should obey uv2 ~= 2 * uv1
+    uv1 = np.asarray(xy[0])[v]
+    uv2 = np.asarray(xy[1])[np.asarray(mj)[v]]
+    err = np.linalg.norm(uv2 - 2.0 * uv1, axis=-1)
+    assert np.median(err) < 4.0, np.median(err)
