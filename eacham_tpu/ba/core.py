@@ -82,9 +82,13 @@ class BAConfig(NamedTuple):
     #   ~cg_iters sequential operator applications; the TPU-right choice
     #   whenever W = [L, N, 6, 3] fits (L * N * 72 bytes), e.g. every local
     #   BA and small-to-mid global BA.
-    # "auto": dense when the W tensor is under dense_budget_bytes.
+    # "auto": dense when the W tensor is under dense_budget_bytes. The
+    # budget is deliberately conservative: the dense path materializes
+    # several W-sized tensors per LM iteration inside larger programs
+    # (device-loop sweeps), and oversized buffers have crashed the TPU
+    # worker outright at ~0.5 GB W.
     solver: str = "auto"
-    dense_budget_bytes: int = 512 * 1024 * 1024
+    dense_budget_bytes: int = 96 * 1024 * 1024
     # dense path: >0 = Jacobi-CG iterations on the materialized system
     # (latency-optimal on TPU); 0 = exact Cholesky solve
     dense_cg_iters: int = 64
