@@ -21,7 +21,9 @@ import jax.numpy as jnp
 
 from eacham_tpu.ba.core import BAConfig, refine_ba
 from eacham_tpu.sfm.pipeline import next_best_view, pnp_register, local_neighbors
-from eacham_tpu.sfm.scene import Scene, ba_problem_from_scene
+from eacham_tpu.sfm.scene import (
+    Scene, ba_problem_windowed, scatter_window_poses,
+)
 from eacham_tpu.sfm.triangulate import triangulate_frame
 
 
@@ -29,7 +31,7 @@ from eacham_tpu.sfm.triangulate import triangulate_frame
     jax.jit,
     static_argnames=(
         "min_pnp_inliers", "min_ba_landmarks", "ba_cfg", "max_observers",
-        "n_hyp_pnp", "pnp_pair_only",
+        "n_hyp_pnp", "pnp_pair_only", "ba_max_cams", "ba_max_obs",
     ),
 )
 def registration_sweep(
@@ -45,6 +47,8 @@ def registration_sweep(
     max_observers: int = 12,
     n_hyp_pnp: int = 512,
     pnp_pair_only: bool = False,
+    ba_max_cams: int = 16,
+    ba_max_obs: int = 16384,
 ):
     """Register every reachable frame. Returns (scene, excluded, n_registered).
 
@@ -68,12 +72,18 @@ def registration_sweep(
             max_repr_error, min_tri_angle, max_observers=max_observers,
         )
         nb = local_neighbors(scene, cur)
-        prob = ba_problem_from_scene(scene, nb)
+        # compact the local problem to a static window: the current frame's
+        # neighborhood is small, and the windowed shapes keep every LM
+        # iteration cheap (and dense-Schur-eligible) at any scene size
+        prob, cam_list, cam_on = ba_problem_windowed(
+            scene, nb, max_cams=ba_max_cams, max_obs=ba_max_obs,
+        )
         n_lm = jnp.sum(prob.pt_in_ba)
 
         def run_ba(s):
             poses, points, intr, _ = refine_ba(prob, ba_cfg)
-            return s._replace(pose=poses, points=points, intr=intr)
+            s = scatter_window_poses(s, cam_list, cam_on, poses)
+            return s._replace(points=points, intr=intr)
 
         scene = jax.lax.cond(
             n_lm >= min_ba_landmarks, run_ba, lambda s: s, scene

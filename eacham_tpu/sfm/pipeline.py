@@ -63,6 +63,8 @@ class SfmOptions:
     # separately — the dominant knob for registration throughput
     local_ba_max_iters: int = 8
     local_ba_tolerance: float = 3e-4
+    local_ba_max_cams: int = 16
+    local_ba_max_obs: int = 16384
     global_max_iters: int = 150       # json:38
     global_tolerance: float = 1e-7    # json:39
     min_ba_landmarks: int = 50        # BundleAdjuster.cpp:166
@@ -349,6 +351,8 @@ def run_sfm(
             max_observers=opt.max_observers,
             n_hyp_pnp=opt.ransac_hyps_pnp,
             pnp_pair_only=opt.pnp_pair_only,
+            ba_max_cams=opt.local_ba_max_cams,
+            ba_max_obs=min(opt.local_ba_max_obs, N * keypoints.shape[1]),
         )
         log(f"device sweep: +{int(n_reg)} frames registered, "
             f"{int(jnp.sum(excluded))} excluded")

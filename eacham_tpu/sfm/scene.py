@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax.ops import segment_sum
 
@@ -176,6 +177,84 @@ def ba_problem_from_scene(
         pt_in_ba=pt_in_ba,
         pt_obs_count=jnp.maximum(counts, 1.0),
     )
+
+
+def ba_problem_windowed(
+    scene: Scene,
+    cam_in_ba: jnp.ndarray,
+    max_cams: int = 16,
+    max_obs: int = 16384,
+    min_observers: int = 2,
+):
+    """Compact local-BA problem: participating cameras gathered into a
+    static [max_cams] window, their observations into [max_obs] slots.
+
+    At reference scale (100+ frames) the full padded problem makes every
+    local-BA iteration pay for all N*K observation slots and all N camera
+    blocks; a local window (the current frame + its registered neighbors,
+    BundleAdjuster.cpp:123-145 — rarely more than a dozen cameras) is
+    6-10x smaller and small enough for the dense Schur path.
+
+    Returns (BAProblem, cam_list [max_cams] int32, cam_on [max_cams] bool);
+    write back with ``scatter_window_poses``.
+    """
+    N, K = scene.kp_mask.shape
+    L = scene.lm_capacity
+    max_cams = min(max_cams, N)
+    max_obs = min(max_obs, N * K)
+    counts = lm_observer_counts(scene)
+
+    sel_val, cam_list = jax.lax.top_k(
+        (cam_in_ba & scene.pose_valid).astype(jnp.int32), max_cams
+    )
+    cam_on = sel_val > 0
+    C = max_cams
+    remap = jnp.full((N,), -1, jnp.int32).at[cam_list].max(
+        jnp.where(cam_on, jnp.arange(C, dtype=jnp.int32), -1)
+    )
+
+    lm = scene.kp2lm.reshape(-1)
+    frame = jnp.repeat(jnp.arange(N, dtype=jnp.int32), K)
+    lm_ok = scene.lm_valid[jnp.maximum(lm, 0)] & (
+        counts[jnp.maximum(lm, 0)] >= min_observers
+    )
+    in_window = (
+        (remap[frame] >= 0)
+        & (lm >= 0)
+        & scene.kp_mask.reshape(-1)
+        & lm_ok
+    )
+    _, pick = jax.lax.top_k(in_window.astype(jnp.int32), max_obs)
+    o_mask = in_window[pick]
+    obs_cam = jnp.maximum(remap[frame[pick]], 0)
+    obs_pt = jnp.maximum(lm[pick], 0)
+    obs_uv = scene.keypoints.reshape(-1, 2)[pick]
+
+    seen = jnp.zeros((L + 1,), bool).at[
+        jnp.where(o_mask, obs_pt, L)
+    ].set(True)[:-1]
+    pt_in_ba = scene.lm_valid & (counts >= min_observers) & seen
+
+    prob = BAProblem(
+        poses=scene.pose[cam_list],
+        points=scene.points,
+        intr=scene.intr,
+        obs_cam=obs_cam,
+        obs_pt=obs_pt,
+        obs_uv=obs_uv,
+        obs_mask=o_mask,
+        cam_in_ba=cam_on,
+        cam_fixed=scene.pose_fixed[cam_list] | (~cam_on),
+        pt_in_ba=pt_in_ba,
+        pt_obs_count=jnp.maximum(counts, 1.0),
+    )
+    return prob, cam_list, cam_on
+
+
+def scatter_window_poses(scene: Scene, cam_list, cam_on, new_poses):
+    """Write optimized window poses back into the scene."""
+    merged = jnp.where(cam_on[:, None, None], new_poses, scene.pose[cam_list])
+    return scene._replace(pose=scene.pose.at[cam_list].set(merged))
 
 
 def alloc_landmarks(scene: Scene, new_points: jnp.ndarray, new_ok: jnp.ndarray):
