@@ -32,6 +32,9 @@ REFERENCE_FRAMES_PER_S = 1.0
 def main():
     import jax
     import jax.numpy as jnp
+    from eacham_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from eacham_tpu.features.frontend import extract_features
     from eacham_tpu.sfm import run_sfm, SfmOptions
     from eacham_tpu.utils.evaluate import ate_rmse

@@ -92,6 +92,11 @@ class BAConfig(NamedTuple):
     # dense path: >0 = Jacobi-CG iterations on the materialized system
     # (latency-optimal on TPU); 0 = exact Cholesky solve
     dense_cg_iters: int = 64
+    # "lm" (Levenberg-Marquardt damping) or "dogleg" (Powell trust region) —
+    # the two optimizer methods the reference's config selects between
+    # (OptimizerConfig::method, BundleAdjuster.cpp:182-214)
+    method: str = "lm"
+    trust_radius_init: float = 1.0   # DogLeg delta (OptimizerConfig::delta)
 
 
 def _huber_sqrt_weight(r_norm: jnp.ndarray, k: float) -> jnp.ndarray:
@@ -492,6 +497,73 @@ def _solve_schur_pcg(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig,
     return d_cam, d_k, d_pt
 
 
+def _dogleg_step(r, Jc, Jp, Jk, priors, p: BAProblem, delta, cfg: BAConfig,
+                 solve, axis_name):
+    """Powell dogleg: blend the Gauss-Newton step with the Cauchy
+    (steepest-descent) step inside trust radius ``delta``.
+
+    Returns (d_cam, d_k, d_pt, model_decrease).
+    """
+    blk = _blocks(r, Jc, Jp, Jk, priors, p, 1e-8, cfg, axis_name)
+    (r_pose, j_pose), (r_pt, j_pt), (r_k, j_k) = priors
+
+    # negative gradient g = b (blk already holds b = -J^T r, masked)
+    g_c, g_k, g_p = blk["b_c"], blk["b_k"], blk["b_p"]
+
+    def dot_all(ac, ak, ap, bc, bk, bp):
+        return (jnp.sum(ac * bc) + jnp.sum(ak * bk) + jnp.sum(ap * bp))
+
+    def Jh_sq(hc, hk, hp):
+        """||J h||^2 over observations + prior rows."""
+        t = (
+            jnp.einsum("okj,oj->ok", Jc, hc[p.obs_cam])
+            + jnp.einsum("okj,j->ok", Jk, hk)
+            + jnp.einsum("okj,oj->ok", Jp, hp[p.obs_pt])
+        )
+        obs = _reduce(jnp.sum(t * t), axis_name)
+        pri = (
+            jnp.sum((j_pose * hc) ** 2)
+            + jnp.sum((j_pt * hp) ** 2)
+            + jnp.sum((j_k * hk) ** 2)
+        )
+        return obs + pri
+
+    g_norm2 = dot_all(g_c, g_k, g_p, g_c, g_k, g_p)
+    alpha = g_norm2 / jnp.maximum(Jh_sq(g_c, g_k, g_p), _EPS)
+    sd_c, sd_k, sd_p = alpha * g_c, alpha * g_k, alpha * g_p
+    sd_norm = jnp.sqrt(alpha * alpha * g_norm2)
+
+    gn_c, gn_k, gn_p = solve(r, Jc, Jp, Jk, priors, p, 1e-8, cfg, axis_name)
+    gn_norm = jnp.sqrt(dot_all(gn_c, gn_k, gn_p, gn_c, gn_k, gn_p))
+
+    # blend factor for the segment sd -> gn hitting the trust boundary
+    d_c = gn_c - sd_c
+    d_k2 = gn_k - sd_k
+    d_p = gn_p - sd_p
+    a = dot_all(d_c, d_k2, d_p, d_c, d_k2, d_p)
+    b_lin = 2.0 * dot_all(sd_c, sd_k, sd_p, d_c, d_k2, d_p)
+    c_quad = sd_norm * sd_norm - delta * delta
+    disc = jnp.maximum(b_lin * b_lin - 4.0 * a * c_quad, 0.0)
+    beta = (-b_lin + jnp.sqrt(disc)) / jnp.maximum(2.0 * a, _EPS)
+    beta = jnp.clip(beta, 0.0, 1.0)
+
+    use_gn = gn_norm <= delta
+    sd_clip = jnp.minimum(1.0, delta / jnp.maximum(sd_norm, _EPS))
+    use_sd = (~use_gn) & (sd_norm >= delta)
+
+    def pick(gn, sd, d):
+        blend = sd + beta * d
+        return jnp.where(use_gn, gn, jnp.where(use_sd, sd_clip * sd, blend))
+
+    h_c = pick(gn_c, sd_c, d_c)
+    h_k = pick(gn_k, sd_k, d_k2)
+    h_p = pick(gn_p, sd_p, d_p)
+
+    # model decrease m(0) - m(h) = g^T h - 0.5 ||J h||^2
+    m_dec = dot_all(g_c, g_k, g_p, h_c, h_k, h_p) - 0.5 * Jh_sq(h_c, h_k, h_p)
+    return h_c, h_k, h_p, m_dec
+
+
 @partial(jax.jit, static_argnames=("cfg", "axis_name"))
 def refine_ba(p: BAProblem, cfg: BAConfig = BAConfig(),
               axis_name: str | None = None):
@@ -525,13 +597,21 @@ def refine_ba(p: BAProblem, cfg: BAConfig = BAConfig(),
         i, _, _, _, lam, cost, done = s
         return (i < cfg.max_iters) & (~done)
 
+    dogleg = cfg.method.lower() == "dogleg"
+
     def body(s):
         i, poses, points, intr, lam, cost, done = s
         r, Jc, Jp, Jk, _ = _obs_linearize(poses, points, intr, p)
         priors = _prior_terms(poses, points, intr, p, anchors, cfg)
-        d_cam, d_k, d_pt = solve(
-            r, Jc, Jp, Jk, priors, p, lam, cfg, axis_name
-        )
+        if dogleg:
+            # lam slot carries the trust radius
+            d_cam, d_k, d_pt, m_dec = _dogleg_step(
+                r, Jc, Jp, Jk, priors, p, lam, cfg, solve, axis_name
+            )
+        else:
+            d_cam, d_k, d_pt = solve(
+                r, Jc, Jp, Jk, priors, p, lam, cfg, axis_name
+            )
 
         new_poses = exp_se3(d_cam) @ poses
         new_points = points + d_pt
@@ -543,16 +623,28 @@ def refine_ba(p: BAProblem, cfg: BAConfig = BAConfig(),
         poses = jnp.where(accept, new_poses, poses)
         points = jnp.where(accept, new_points, points)
         intr = jnp.where(accept, new_intr, intr)
-        lam = jnp.where(accept, jnp.maximum(lam / 3.0, cfg.lambda_min),
-                        jnp.minimum(lam * 4.0, cfg.lambda_max))
+        if dogleg:
+            rho = (cost - new_cost) / jnp.maximum(m_dec, _EPS)
+            lam = jnp.where(
+                rho > 0.75, lam * 2.0,
+                jnp.where(rho < 0.25, lam * 0.5, lam),
+            )
+            lam = jnp.clip(lam, 1e-6, 1e6)
+            stalled = lam <= 1e-6
+        else:
+            lam = jnp.where(accept, jnp.maximum(lam / 3.0, cfg.lambda_min),
+                            jnp.minimum(lam * 4.0, cfg.lambda_max))
+            stalled = lam >= cfg.lambda_max
         rel = jnp.abs(cost - new_cost) / jnp.maximum(cost, _EPS)
-        done = (accept & (rel < cfg.tolerance)) | (lam >= cfg.lambda_max)
+        done = (accept & (rel < cfg.tolerance)) | stalled
         cost = jnp.where(accept, new_cost, cost)
         return i + 1, poses, points, intr, lam, cost, done
 
     init = (
         jnp.int32(0), p.poses, p.points, p.intr,
-        jnp.asarray(cfg.lambda_init, p.poses.dtype), cost0,
+        jnp.asarray(cfg.trust_radius_init if dogleg else cfg.lambda_init,
+                    p.poses.dtype),
+        cost0,
         jnp.asarray(False),
     )
     n_it, poses, points, intr, lam, cost, _ = jax.lax.while_loop(cond, body, init)

@@ -20,6 +20,9 @@ import numpy as np
 
 def run(config_path: str, max_keypoints: int = 1024, verbose: bool = True,
         frontend: str = "classical", weights_dir: str | None = None) -> dict:
+    from eacham_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
     from eacham_tpu.features.frontend import extract_features
     from eacham_tpu.io.config import load_config

@@ -69,8 +69,14 @@ class SfmConfig:
             min_pnp_inliers=self.min_pnp_inliers,
             refine_max_iters=self.refine_opt.max_iter,
             refine_tolerance=self.refine_opt.max_tolerance,
+            refine_method=self.refine_opt.method,
+            refine_delta=self.refine_opt.delta,
             global_max_iters=self.global_opt.max_iter,
             global_tolerance=self.global_opt.max_tolerance,
+            global_method=self.global_opt.method,
+            global_delta=self.global_opt.delta,
+            refine_solver="pcg" if self.refine_opt.use_preconditioner else "auto",
+            global_solver="pcg" if self.global_opt.use_preconditioner else "auto",
         )
         kw.update(overrides)
         return SfmOptions(**kw)

@@ -58,6 +58,15 @@ class SfmOptions:
     # bundle adjustment budgets
     refine_max_iters: int = 100       # json:31
     refine_tolerance: float = 1e-5    # json:32
+    refine_method: str = "LM"         # "LM" | "DogLeg" (json:30)
+    refine_delta: float = 10.0        # DogLeg trust radius (json:33)
+    global_method: str = "LM"
+    global_delta: float = 10.0
+    # use_preconditioner=true in the reference selects GTSAM's iterative
+    # PCG+BlockJacobi solver (BundleAdjuster.cpp:195-209); here it forces
+    # the matrix-free PCG Schur path instead of the auto dense/PCG choice
+    refine_solver: str = "auto"
+    global_solver: str = "auto"
     # per-frame local BA runs inside the device sweep; it does not need to
     # converge fully (global BA finishes the job), so its budget is capped
     # separately — the dominant knob for registration throughput
@@ -330,9 +339,15 @@ def run_sfm(
     refine_cfg = BAConfig(
         max_iters=min(opt.refine_max_iters, opt.local_ba_max_iters),
         tolerance=max(opt.refine_tolerance, opt.local_ba_tolerance),
+        method=opt.refine_method.lower(),
+        trust_radius_init=opt.refine_delta,
+        solver=opt.refine_solver,
     )
     global_cfg = BAConfig(
         max_iters=opt.global_max_iters, tolerance=opt.global_tolerance,
+        method=opt.global_method.lower(),
+        trust_radius_init=opt.global_delta,
+        solver=opt.global_solver,
     )
 
     # ---- incremental loop (HOT LOOP 3, main.cpp:195-225) -----------------------

@@ -1,0 +1,27 @@
+"""Persistent XLA compilation cache.
+
+The whole-reconstruction programs (device sweep, two-view batch, BA) cost
+minutes of Mosaic/XLA compilation at reference scale; the cache makes
+every run after the first start in seconds. Safe to call multiple times.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> str:
+    import jax
+
+    path = Path(
+        cache_dir
+        or os.environ.get("EACHAM_CACHE_DIR")
+        or Path.home() / ".cache" / "eacham_tpu" / "xla"
+    )
+    path.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(path))
+    # cache everything, even fast compiles — dispatch-heavy pipelines win
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return str(path)

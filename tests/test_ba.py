@@ -119,3 +119,22 @@ def test_dense_solver_matches_pcg(rng):
     assert abs(float(out_p[3]["final_cost"]) - float(out_d[3]["final_cost"])) < max(
         1e-2 * float(out_p[3]["final_cost"]), 1.0
     )
+
+
+def test_dogleg_converges(rng):
+    """The DogLeg trust-region method must reach the same optimum as LM
+    (OptimizerConfig::method parity, BundleAdjuster.cpp:182-214)."""
+    from tests.test_parallel import _random_problem
+    from eacham_tpu.ba.core import BAConfig, refine_ba
+    import numpy as np
+
+    prob, _, _ = _random_problem(np.random.default_rng(5))
+    out_lm = refine_ba(prob, BAConfig(max_iters=25, solver="dense"))
+    out_dl = refine_ba(
+        prob, BAConfig(max_iters=40, solver="dense", method="dogleg",
+                       trust_radius_init=1.0)
+    )
+    lm_cost = float(out_lm[3]["final_cost"])
+    dl_cost = float(out_dl[3]["final_cost"])
+    assert dl_cost < 1.5 * lm_cost + 1.0, (lm_cost, dl_cost)
+    assert dl_cost < 0.05 * float(out_dl[3]["initial_cost"])
