@@ -1,0 +1,172 @@
+"""Fused descriptor-matching Pallas kernel.
+
+One kernel computes, per keypoint pair-set, the row-wise best/second-best
+similarities + argmax AND the column-wise best/argmax — without the
+[K1, K2] similarity matrix ever leaving VMEM. The MXU does the [tile,256]
+x [256, K2] products; the VPU reduces. Host-side jnp then applies the
+Lowe ratio + mutual-consistency decision (features/matching.py semantics,
+FLANN knn k=2 parity — FeatureMatcherFlann.cpp:14-30).
+
+Column state (running max/argmax across row tiles) lives in VMEM scratch,
+carried across the sequential row-tile grid dimension.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROW_TILE = 128
+NEG = -1e30
+
+
+def _match_kernel(d1_ref, d2_ref, m1_ref, m2_ref,
+                  b1_ref, a1_ref, s1_ref, b2_ref, a2_ref, s2_ref,
+                  colmax_ref, colarg_ref, colsec_ref):
+    i = pl.program_id(0)
+    n_rows = pl.num_programs(0)
+
+    d1 = d1_ref[:]                          # [ROW_TILE, D]
+    d2 = d2_ref[:]                          # [K2, D]
+    sim = jax.lax.dot_general(
+        d1, d2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                        # [ROW_TILE, K2]
+    # mask as 32-bit arithmetic: bool broadcasts with minor-dim insertion
+    # are unsupported by Mosaic
+    live1 = m1_ref[0, :].astype(jnp.float32)    # [ROW_TILE]
+    live2 = m2_ref[0, :].astype(jnp.float32)    # [K2]
+    live = live1[:, None] * live2[None, :]
+    sim = sim * live + (live - 1.0) * (-NEG)
+
+    # --- row-wise top-2 ----------------------------------------------------
+    best = jnp.max(sim, axis=1)
+    arg = jnp.argmax(sim, axis=1).astype(jnp.int32)
+    k2 = sim.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+    masked = jnp.where(cols == arg[:, None], NEG, sim)
+    second = jnp.max(masked, axis=1)
+    b1_ref[0, :] = best
+    a1_ref[0, :] = arg
+    s1_ref[0, :] = second
+
+    # --- column-wise running top-2 across row tiles ------------------------
+    col_best = jnp.max(sim, axis=0)          # [K2]
+    col_arg_t = jnp.argmax(sim, axis=0).astype(jnp.int32)
+    col_arg_local = col_arg_t + i * ROW_TILE
+    rows = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 0)
+    col_second = jnp.max(
+        jnp.where(rows == col_arg_t[None, :], NEG, sim), axis=0
+    )
+
+    @pl.when(i == 0)
+    def _():
+        colmax_ref[0, :] = col_best
+        colarg_ref[0, :] = col_arg_local
+        colsec_ref[0, :] = col_second
+
+    @pl.when(i > 0)
+    def _():
+        prev = colmax_ref[0, :]
+        prev_sec = colsec_ref[0, :]
+        take_new = col_best > prev
+        # merged second-best of two (best, second) summaries:
+        # max(second_a, second_b, min(best_a, best_b))
+        merged_sec = jnp.maximum(
+            jnp.maximum(prev_sec, col_second), jnp.minimum(prev, col_best)
+        )
+        colmax_ref[0, :] = jnp.where(take_new, col_best, prev)
+        colarg_ref[0, :] = jnp.where(take_new, col_arg_local, colarg_ref[0, :])
+        colsec_ref[0, :] = merged_sec
+
+    @pl.when(i == n_rows - 1)
+    def _():
+        b2_ref[0, :] = colmax_ref[0, :]
+        a2_ref[0, :] = colarg_ref[0, :]
+        s2_ref[0, :] = colsec_ref[0, :]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def match_pair_fused(
+    d1: jnp.ndarray,      # [K1, D] L2-normalized
+    d2: jnp.ndarray,      # [K2, D]
+    mask1: jnp.ndarray,   # [K1] bool
+    mask2: jnp.ndarray,   # [K2] bool
+    ratio: float = 0.8,
+    interpret: bool = False,
+):
+    """Same contract as features.matching.match_pair, fused on TPU."""
+    K1, D = d1.shape
+    K2 = d2.shape[0]
+    pad1 = (-K1) % ROW_TILE
+    if pad1:
+        d1 = jnp.pad(d1, ((0, pad1), (0, 0)))
+        mask1 = jnp.pad(mask1, (0, pad1))
+    K1p = K1 + pad1
+
+    grid = (K1p // ROW_TILE,)
+    out_shape = (
+        jax.ShapeDtypeStruct((1, K1p), jnp.float32),   # row best
+        jax.ShapeDtypeStruct((1, K1p), jnp.int32),     # row argmax
+        jax.ShapeDtypeStruct((1, K1p), jnp.float32),   # row second
+        jax.ShapeDtypeStruct((1, K2), jnp.float32),    # col best
+        jax.ShapeDtypeStruct((1, K2), jnp.int32),      # col argmax
+        jax.ShapeDtypeStruct((1, K2), jnp.float32),    # col second
+    )
+    b1, a1, s1, b2, a2, s2 = pl.pallas_call(
+        _match_kernel,
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ROW_TILE, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K2, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ROW_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, ROW_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ROW_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ROW_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, K2), jnp.float32),
+            pltpu.VMEM((1, K2), jnp.int32),
+            pltpu.VMEM((1, K2), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        d1, d2, mask1.astype(jnp.int32)[None, :],
+        mask2.astype(jnp.int32)[None, :],
+    )
+
+    b1 = b1[0, :K1]
+    a1 = a1[0, :K1]
+    s1 = s1[0, :K1]
+    b2 = b2[0]
+    a2 = a2[0]
+    s2 = s2[0]
+    mask1 = mask1[:K1]
+
+    # Lowe ratio on L2 distances (d^2 = 2 - 2 s), both directions + mutual —
+    # identical decision rule to features.matching.match_pair
+    def ratio_ok(best, second):
+        dbest = jnp.sqrt(jnp.maximum(2.0 - 2.0 * best, 0.0))
+        dsecond = jnp.sqrt(jnp.maximum(2.0 - 2.0 * second, 0.0))
+        return dbest < ratio * dsecond
+
+    ok1 = ratio_ok(b1, s1) & (b1 > NEG / 2) & mask1
+    ok2 = ratio_ok(b2, s2) & (b2 > NEG / 2) & mask2
+    mutual = a2[a1] == jnp.arange(K1)
+    valid = ok1 & mutual & ok2[a1]
+    return a1, valid

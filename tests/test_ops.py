@@ -62,3 +62,27 @@ def test_attention_grad(rng):
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_match_kernel_parity(rng):
+    """Pallas fused matcher == jnp matcher, exactly (interpret mode)."""
+    from eacham_tpu.ops.match_kernel import match_pair_fused
+    from eacham_tpu.features.matching import match_pair
+
+    K1, K2, D = 200, 170, 256
+    d2 = rng.normal(size=(K2, D)).astype(np.float32)
+    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+    d1 = np.zeros((K1, D), np.float32)
+    d1[:120] = d2[:120] + 0.02 * rng.normal(size=(120, D)).astype(np.float32)
+    d1[120:] = rng.normal(size=(K1 - 120, D)).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=1, keepdims=True)
+    m1 = jnp.asarray(rng.random(K1) > 0.15)
+    m2 = jnp.asarray(rng.random(K2) > 0.15)
+
+    a_ref, v_ref = match_pair(jnp.asarray(d1), jnp.asarray(d2), m1, m2)
+    a_f, v_f = match_pair_fused(jnp.asarray(d1), jnp.asarray(d2), m1, m2,
+                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_f))
+    v = np.asarray(v_ref)
+    np.testing.assert_array_equal(np.asarray(a_ref)[v], np.asarray(a_f)[v])
+    assert v.sum() > 50
