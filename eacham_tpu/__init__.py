@@ -16,3 +16,16 @@ Design stance (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import eacham_tpu` jax-import-free)."""
+    if name in ("run_sfm", "resume_sfm", "SfmOptions"):
+        from eacham_tpu import sfm
+
+        return getattr(sfm, name)
+    if name in ("load_config", "SfmConfig"):
+        from eacham_tpu.io import config
+
+        return getattr(config, name)
+    raise AttributeError(name)

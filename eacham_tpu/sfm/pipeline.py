@@ -421,6 +421,65 @@ def run_sfm(
     return _finalize(scene, excluded, opt, global_cfg, i0, j0, N, log)
 
 
+def resume_sfm(
+    scene: Scene,
+    options: SfmOptions = SfmOptions(),
+    excluded: jnp.ndarray | None = None,
+    verbose: bool = True,
+):
+    """Continue a reconstruction from a (possibly checkpointed) Scene.
+
+    Re-runs the on-device registration sweep over still-unregistered frames
+    and the global-BA finalization. With io.checkpoint this gives
+    stop/resume — an ability the reference lacks entirely (SURVEY.md §5
+    "Checkpoint / resume: none").
+    """
+    opt = options
+    N = scene.kp_mask.shape[0]
+    if excluded is None:
+        excluded = jnp.zeros((N,), bool)
+
+    def log(*a):
+        if verbose:
+            print("[sfm]", *a, flush=True)
+
+    if int(jnp.sum(scene.pose_valid)) < 2:
+        log("resume: scene has no initialized pair")
+        return scene, {"registered": 0, "landmarks": 0, "initialized": False}
+
+    from eacham_tpu.sfm.device_loop import registration_sweep
+
+    pid_tbl = jnp.asarray(pair_id_table(scene.pair_idx, N))
+    refine_cfg = BAConfig(
+        max_iters=min(opt.refine_max_iters, opt.local_ba_max_iters),
+        tolerance=max(opt.refine_tolerance, opt.local_ba_tolerance),
+        method=opt.refine_method.lower(),
+        trust_radius_init=opt.refine_delta,
+        solver=opt.refine_solver,
+    )
+    global_cfg = BAConfig(
+        max_iters=opt.global_max_iters, tolerance=opt.global_tolerance,
+        method=opt.global_method.lower(),
+        trust_radius_init=opt.global_delta,
+        solver=opt.global_solver,
+    )
+    key = jax.random.PRNGKey(opt.seed + 1)
+    scene, excluded, n_reg = registration_sweep(
+        scene, excluded, pid_tbl, key,
+        opt.max_repr_error, opt.min_tri_angle,
+        min_pnp_inliers=opt.min_pnp_inliers,
+        min_ba_landmarks=opt.min_ba_landmarks,
+        ba_cfg=refine_cfg,
+        max_observers=opt.max_observers,
+        n_hyp_pnp=opt.ransac_hyps_pnp,
+        pnp_pair_only=opt.pnp_pair_only,
+        ba_max_cams=opt.local_ba_max_cams,
+        ba_max_obs=min(opt.local_ba_max_obs, N * scene.kp_mask.shape[1]),
+    )
+    log(f"resume sweep: +{int(n_reg)} frames registered")
+    return _finalize(scene, excluded, opt, global_cfg, -1, -1, N, log)
+
+
 def _finalize(scene, excluded, opt: SfmOptions, global_cfg, i0, j0, N, log):
     """Global BA (main.cpp:227-231) + run statistics."""
     if opt.run_global_ba and opt.global_max_iters > 0:

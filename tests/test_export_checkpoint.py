@@ -68,3 +68,38 @@ def test_draw_matches(tmp_path, rng):
     assert canvas.shape == (40, 120, 3)
     assert (tmp_path / "m.png").exists()
     assert canvas.max() > 0
+
+
+def test_checkpoint_resume_reconstruction(tmp_path):
+    """Save mid-reconstruction, reload, resume to completion."""
+    import jax.numpy as jnp
+    from tests.test_pipeline import make_feature_world
+    from eacham_tpu.sfm import run_sfm, resume_sfm, SfmOptions
+
+    rng_np = np.random.default_rng(31)
+    poses_gt, _, intr, kps, desc, mask = make_feature_world(
+        rng_np, n_cams=7, n_pts=200, noise=0.3)
+    opts = SfmOptions(min_initial_inliers=60, min_matches=20,
+                      ransac_hyps_e=128, ransac_hyps_h=64,
+                      ransac_hyps_pnp=128, lm_capacity=2048,
+                      refine_max_iters=10, global_max_iters=15)
+    scene, stats = run_sfm(
+        jnp.asarray(kps), jnp.asarray(desc), jnp.asarray(mask),
+        image_size=(640, 480), intr=jnp.asarray(intr, np.float32),
+        options=opts, verbose=False)
+    assert stats["registered"] == 7
+
+    # simulate an interrupted run: de-register the last three frames
+    valid = scene.pose_valid
+    drop = jnp.zeros_like(valid).at[4:].set(True) & valid
+    kp2lm = jnp.where(drop[:, None], -1, scene.kp2lm)
+    scene_partial = scene._replace(
+        pose_valid=valid & (~drop), kp2lm=kp2lm)
+
+    p = tmp_path / "partial.npz"
+    save_scene(p, scene_partial)
+    loaded, _ = load_scene(p)
+    assert int(loaded.pose_valid.sum()) == 4
+
+    resumed, stats2 = resume_sfm(loaded, options=opts, verbose=False)
+    assert stats2["registered"] == 7
