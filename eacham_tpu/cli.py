@@ -70,10 +70,17 @@ def run(config_path: str, max_keypoints: int = 1024, verbose: bool = True,
         cx=float(intr[2]), cy=float(intr[3]),
         fx=float(intr[0]), fy=float(intr[1]),
     )
+    # offline visualization artifacts (replaces the Pangolin views)
+    from eacham_tpu.io.export import export_cloud, export_trajectory, landmark_colors
+
+    colors = landmark_colors(scene, batch.images)
+    n_pts = export_cloud(out_path.parent / "cloud.ply", scene, color=colors)
+    export_trajectory(out_path.parent / "trajectory.ply", scene)
+
     n_invalid = int((~valid).sum())
     if verbose:
         print(f"invalidNodes: {n_invalid} out of {len(batch.names)}")
-        print(f"saved {out_path}")
+        print(f"saved {out_path} (+cloud.ply [{n_pts} pts], trajectory.ply)")
     if cfg.nerfy:
         nerf_out = transform_to_nerf(out_path.parent)
         if verbose:

@@ -49,6 +49,34 @@ def export_cloud(
     return int(valid.sum())
 
 
+def landmark_colors(scene: Scene, images: np.ndarray) -> np.ndarray:
+    """[L, 3] uint8 per-landmark colors sampled at the first observing
+    keypoint (the reference stores a color per MapPointData, Map.h:17-22;
+    colors are grabbed from the host image batch — grayscale intensity
+    replicated to RGB, or true RGB when a [N, H, W, 3] batch is given)."""
+    kp2lm = np.asarray(scene.kp2lm)
+    kps = np.asarray(scene.keypoints)
+    N, K = kp2lm.shape
+    L = scene.lm_capacity
+    colors = np.full((L, 3), 200, np.uint8)
+    has = np.zeros(L, bool)
+    rgb = images.ndim == 4
+    H, W = images.shape[1], images.shape[2]
+    for n in range(N):
+        lm = kp2lm[n]
+        pick = (lm >= 0) & (~has[np.maximum(lm, 0)])
+        for k in np.nonzero(pick)[0]:
+            x = int(np.clip(kps[n, k, 0], 0, W - 1))
+            y = int(np.clip(kps[n, k, 1], 0, H - 1))
+            v = images[n, y, x]
+            colors[lm[k]] = (
+                (np.asarray(v) * 255).astype(np.uint8)
+                if rgb else np.full(3, int(v * 255), np.uint8)
+            )
+            has[lm[k]] = True
+    return colors
+
+
 def export_trajectory(path: str | Path, scene: Scene) -> int:
     """Write registered camera centers to PLY; first camera red, rest green
     (GraphView.h:36-41)."""

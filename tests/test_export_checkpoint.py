@@ -103,3 +103,17 @@ def test_checkpoint_resume_reconstruction(tmp_path):
 
     resumed, stats2 = resume_sfm(loaded, options=opts, verbose=False)
     assert stats2["registered"] == 7
+
+
+def test_landmark_colors(rng):
+    from eacham_tpu.io.export import landmark_colors
+
+    scene = _tiny_scene(rng)
+    images = rng.random((4, 120, 120)).astype(np.float32)
+    colors = landmark_colors(scene, images)
+    assert colors.shape == (32, 3)
+    # landmark 0 observed at frame 0 kp 0 -> its keypoint's intensity
+    kp = np.asarray(scene.keypoints)[0, 0]
+    lm0 = int(np.asarray(scene.kp2lm)[0, 0])
+    v = images[0, int(kp[1]), int(kp[0])]
+    assert abs(int(colors[lm0][0]) - int(v * 255)) <= 1
