@@ -60,3 +60,41 @@ def test_deep_matching_reconstruction():
     c_est = -np.einsum("nij,ni->nj", est[:, :3, :3], est[:, :3, 3])
     c_gt = -np.einsum("nij,ni->nj", gt[:, :3, :3], gt[:, :3, 3])
     assert ate_rmse(c_est, c_gt) < 0.1
+
+
+@pytest.mark.skipif(
+    not (WEIGHTS / "superpoint.npz").exists(),
+    reason="no trained weights checked in",
+)
+def test_deep_extraction_reconstruction():
+    """Full image-based deep path: rendered views -> trained SuperPoint
+    features -> reconstruction, ATE-checked against GT."""
+    from eacham_tpu.features.deep import superpoint as sp
+    from eacham_tpu.features.deep import lightglue as lg
+    from eacham_tpu.features.deep.frontend import extract_deep_batch
+    from eacham_tpu.utils.synthetic import render_sequence
+
+    sp_params = sp.init_params(jax.random.PRNGKey(0))
+    sp_params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32),
+        lg.load_params(WEIGHTS / "superpoint.npz", sp_params))
+
+    rng = np.random.default_rng(5)
+    images, poses_gt, intr = render_sequence(
+        rng, n_frames=10, width=320, height=240)
+    xy, desc, score, mask = extract_deep_batch(
+        sp_params, jnp.asarray(images), max_keypoints=384)
+    opts = SfmOptions(min_initial_inliers=50, min_matches=15,
+                      init_min_tri_angle_deg=1.0, min_tri_angle_deg=0.8,
+                      ransac_hyps_e=256, ransac_hyps_h=128,
+                      ransac_hyps_pnp=256, lm_capacity=8192)
+    scene, stats = run_sfm(xy, desc, mask, image_size=(320, 240),
+                           intr=jnp.asarray(intr, jnp.float32),
+                           options=opts, verbose=False)
+    assert stats["registered"] >= 8
+    valid = np.asarray(scene.pose_valid)
+    est = np.asarray(scene.pose)[valid]
+    gt = poses_gt[valid]
+    ce = -np.einsum("nij,ni->nj", est[:, :3, :3], est[:, :3, 3])
+    cg = -np.einsum("nij,ni->nj", gt[:, :3, :3], gt[:, :3, 3])
+    assert ate_rmse(ce, cg) < 0.15
