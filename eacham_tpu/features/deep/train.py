@@ -19,15 +19,13 @@ production quality.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
 
 from eacham_tpu.features.deep.superpoint import SuperPointNet, CELL
-from eacham_tpu.features.deep.lightglue import LightGlueMatcher, normalize_keypoints
+from eacham_tpu.features.deep.lightglue import LightGlueMatcher
 from eacham_tpu.utils.synthetic import make_blob_scene, render_view
 
 

@@ -18,7 +18,7 @@ from pathlib import Path
 
 import numpy as np
 
-from eacham_tpu.io.images import ImageBatch, load_image_dir
+from eacham_tpu.io.images import ImageBatch
 
 
 @dataclass

@@ -27,8 +27,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from eacham_tpu.geometry.camera import project, reprojection_error
-from eacham_tpu.geometry.se3 import transform_points
+from eacham_tpu.geometry.camera import project
 from eacham_tpu.geometry.triangulation import triangulate_consensus
 from eacham_tpu.sfm.matches import observers_of_frame
 from eacham_tpu.sfm.scene import Scene, alloc_landmarks, lm_observer_counts
