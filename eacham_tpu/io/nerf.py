@@ -32,3 +32,27 @@ def transform_to_nerf(folder: str | Path) -> Path:
     out = folder / "transforms_nerf.json"
     out.write_text(json.dumps(data, indent=4) + "\n")
     return out
+
+
+def main(argv=None):
+    """CLI matching the reference binary:
+    ``python -m eacham_tpu.io.nerf <folder with transform.json>``
+    (TransformToNerf.cpp:11-16)."""
+    import sys
+
+    args = argv if argv is not None else sys.argv[1:]
+    if len(args) < 1:
+        print("usage: python -m eacham_tpu.io.nerf "
+              "'folder with transform.json (result of eacham_tpu sfm)'")
+        return -1
+    folder = Path(args[0])
+    if not (folder / "transform.json").exists():
+        print("Error: no 'transform.json' in the given folder")
+        return -1
+    out = transform_to_nerf(folder)
+    print(f"saved {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
