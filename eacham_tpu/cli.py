@@ -47,12 +47,18 @@ def run(config_path: str, max_keypoints: int = 1024, verbose: bool = True,
             xy, desc, score, mask = extract_features(
                 jnp.asarray(batch.images), max_keypoints=max_keypoints
             )
+    # unequal-size frames are zero-padded to the batch max; drop keypoints
+    # that fired on padding (incl. the artificial image/pad edge)
+    mask = mask & _in_frame_mask(xy, batch.sizes)
+    # K guess from the FIRST frame's true size, as the reference does
+    # (utils::ImageToCameraParams(frames[0].image), Utils.h:13-22)
+    w0, h0 = (int(v) for v in batch.sizes[0])
 
     opts = cfg.to_options(max_keypoints=max_keypoints)
     with BlockTimer("SfM", verbose=verbose):       # match + loop + BA
         scene, stats = run_sfm(
             xy, desc, mask,
-            image_size=(batch.width, batch.height),
+            image_size=(w0, h0),
             options=opts, verbose=verbose,
             match_tables=match_tables,
         )
@@ -66,7 +72,7 @@ def run(config_path: str, max_keypoints: int = 1024, verbose: bool = True,
     out_path.parent.mkdir(parents=True, exist_ok=True)
     save_positions(
         out_path, names, poses[valid],
-        width=batch.width, height=batch.height,
+        width=w0, height=h0,
         cx=float(intr[2]), cy=float(intr[3]),
         fx=float(intr[0]), fy=float(intr[1]),
     )
@@ -90,6 +96,15 @@ def run(config_path: str, max_keypoints: int = 1024, verbose: bool = True,
         print_stats()
     stats["output"] = str(out_path)
     return stats
+
+
+def _in_frame_mask(xy, sizes):
+    """[N, K] mask of keypoints inside each frame's true (w, h) extent
+    (ImageBatch.sizes) — padding regions never produce features."""
+    import jax.numpy as jnp
+
+    wh = jnp.asarray(sizes, xy.dtype)[:, None, :]          # [N, 1, 2]
+    return jnp.all((xy >= 0) & (xy < wh), axis=-1)
 
 
 def _deep_frontend(batch, max_keypoints, weights_dir, verbose):

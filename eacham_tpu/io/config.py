@@ -60,6 +60,7 @@ class SfmConfig:
         """Map the file schema onto the pipeline's SfmOptions."""
         kw = dict(
             max_features=max_keypoints,
+            min_features_count=self.min_features_count,
             match_ratio=self.inliers_ratio,
             min_initial_inliers=self.initial_min_inliers,
             init_max_repr_error=self.initial_max_repr_error,

@@ -25,7 +25,9 @@ import numpy as np
 
 MAX_ROWS = 1500            # SfmInputSource.h:29
 SCALE_STEP = 0.95          # SfmInputSource.h:31
-EXTENSIONS = (".jpg", ".JPG", ".png", ".PNG")   # MonoImageReader.h:41-46
+# reference globs jpg/png only (MonoImageReader.h:41-46); also accept
+# .jpeg plus the formats the native decoder handles (image_loader.cpp)
+EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".pgm", ".bmp")
 
 
 @dataclass
@@ -56,7 +58,7 @@ def downsize_policy(rows: int) -> float:
 
 def list_images(directory: str | Path) -> list[Path]:
     d = Path(directory)
-    files = [p for p in d.iterdir() if p.suffix in EXTENSIONS]
+    files = [p for p in d.iterdir() if p.suffix.lower() in EXTENSIONS]
     return sorted(files)
 
 

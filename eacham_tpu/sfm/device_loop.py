@@ -76,7 +76,7 @@ def registration_sweep(
         # neighborhood is small, and the windowed shapes keep every LM
         # iteration cheap (and dense-Schur-eligible) at any scene size
         prob, cam_list, cam_on = ba_problem_windowed(
-            scene, nb, max_cams=ba_max_cams, max_obs=ba_max_obs,
+            scene, nb, max_cams=ba_max_cams, max_obs=ba_max_obs, cur=cur,
         )
         n_lm = jnp.sum(prob.pt_in_ba)
 

@@ -45,6 +45,8 @@ class SfmOptions:
 
     # features / matching
     max_features: int = 1024          # "features/max_count"
+    # frames with fewer keypoints never enter the graph (main.cpp:75-78)
+    min_features_count: int = 0
     match_ratio: float = 0.8          # FeatureMatcherFlann.cpp:27
     min_matches: int = 30             # main.cpp:111,142
     # initial pair
@@ -290,6 +292,16 @@ def run_sfm(
     def log(*a):
         if verbose:
             print("[sfm]", *a, flush=True)
+
+    if opt.min_features_count > 0:
+        # frames under the feature floor are dropped from the graph, the
+        # reference's node-creation gate (main.cpp:75-78)
+        enough = jnp.sum(kp_mask, axis=1) >= opt.min_features_count
+        n_drop = int(N - jnp.sum(enough))
+        if n_drop:
+            log(f"{n_drop} frames under min_features_count="
+                f"{opt.min_features_count} dropped from the graph")
+        kp_mask = kp_mask & enough[:, None]
 
     # ---- match graph (HOT LOOP 2, main.cpp:84-147) ----------------------------
     if match_tables is None:

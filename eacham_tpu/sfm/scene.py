@@ -185,6 +185,7 @@ def ba_problem_windowed(
     max_cams: int = 16,
     max_obs: int = 16384,
     min_observers: int = 2,
+    cur: jnp.ndarray | None = None,
 ):
     """Compact local-BA problem: participating cameras gathered into a
     static [max_cams] window, their observations into [max_obs] slots.
@@ -204,9 +205,15 @@ def ba_problem_windowed(
     max_obs = min(max_obs, N * K)
     counts = lm_observer_counts(scene)
 
-    sel_val, cam_list = jax.lax.top_k(
-        (cam_in_ba & scene.pose_valid).astype(jnp.int32), max_cams
-    )
+    # key: 2 for the just-registered frame, 1 for neighbors — guarantees the
+    # current frame is never dropped from its own local window when the
+    # neighborhood exceeds max_cams (top_k ties break toward low indices)
+    sel_key = (cam_in_ba & scene.pose_valid).astype(jnp.int32)
+    if cur is not None:
+        sel_key = sel_key + sel_key * (
+            jnp.arange(scene.kp_mask.shape[0], dtype=jnp.int32) == cur
+        )
+    sel_val, cam_list = jax.lax.top_k(sel_key, max_cams)
     cam_on = sel_val > 0
     C = max_cams
     remap = jnp.full((N,), -1, jnp.int32).at[cam_list].max(

@@ -80,10 +80,11 @@ int decode_pnm(const std::vector<uint8_t>& buf, Image& img) {
   int w, h, maxv;
   if (!next_int(w) || !next_int(h) || !next_int(maxv)) return EL_DECODE_ERROR;
   if (maxv != 255) return EL_UNSUPPORTED;
+  if (pos >= buf.size()) return EL_DECODE_ERROR;  // truncated after header
   ++pos;  // single whitespace after header
   int ch = (kind == 6) ? 3 : 1;
   size_t need = static_cast<size_t>(w) * h * ch;
-  if (buf.size() - pos < need) return EL_DECODE_ERROR;
+  if (w <= 0 || h <= 0 || need > buf.size() - pos) return EL_DECODE_ERROR;
   img.w = w;
   img.h = h;
   img.channels = ch;
@@ -156,6 +157,7 @@ int decode_png(const std::vector<uint8_t>& buf, Image& img) {
     const char* tag = reinterpret_cast<const char*>(&buf[pos + 4]);
     const uint8_t* body = &buf[pos + 8];
     if (std::memcmp(tag, "IHDR", 4) == 0) {
+      if (len < 13) return EL_DECODE_ERROR;  // IHDR body is 13 bytes
       w = be32(pos + 8);
       h = be32(pos + 12);
       bitdepth = body[8];
