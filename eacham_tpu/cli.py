@@ -19,7 +19,8 @@ import numpy as np
 
 
 def run(config_path: str, max_keypoints: int = 1024, verbose: bool = True,
-        frontend: str = "classical", weights_dir: str | None = None) -> dict:
+        frontend: str = "classical", weights_dir: str | None = None,
+        n_devices: int = 1) -> dict:
     from eacham_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -54,7 +55,7 @@ def run(config_path: str, max_keypoints: int = 1024, verbose: bool = True,
     # (utils::ImageToCameraParams(frames[0].image), Utils.h:13-22)
     w0, h0 = (int(v) for v in batch.sizes[0])
 
-    opts = cfg.to_options(max_keypoints=max_keypoints)
+    opts = cfg.to_options(max_keypoints=max_keypoints, n_devices=n_devices)
     with BlockTimer("SfM", verbose=verbose):       # match + loop + BA
         scene, stats = run_sfm(
             xy, desc, mask,
@@ -157,11 +158,13 @@ def main(argv=None):
     ap.add_argument("--frontend", choices=["classical", "deep"],
                     default="classical")
     ap.add_argument("--weights", help="directory with deep-frontend .npz")
+    ap.add_argument("--devices", type=int, default=1,
+                    help="shard matching + global BA over this many devices")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
     stats = run(args.config, max_keypoints=args.max_keypoints,
                 verbose=not args.quiet, frontend=args.frontend,
-                weights_dir=args.weights)
+                weights_dir=args.weights, n_devices=args.devices)
     return 0 if stats.get("initialized") else 1
 
 

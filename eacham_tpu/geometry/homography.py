@@ -181,11 +181,11 @@ def decompose_homography(H: jnp.ndarray, intr: jnp.ndarray):
     Rs = jnp.stack(Rs)
     ts = jnp.stack(ts)
     ns = jnp.stack(ns)
-    # The negative family is only physical if d3 < 0 in the original
-    # (unsigned) decomposition; with SVD all singular values are >= 0, so we
-    # mark the negative-family candidates valid only when the homography is
-    # far from a pure rotation (x1, x3 > 0) — harmless superset otherwise.
-    valid = jnp.concatenate(
-        [jnp.ones(4, dtype=bool), jnp.zeros(4, dtype=bool)]
-    )
+    # Candidates 0-3 are the d' > 0 family, 4-7 the d' < 0 family (the
+    # camera crossed the plane between the views). Both are physical —
+    # cv::decomposeHomographyMat's solution set spans them too — and the
+    # caller's cheirality + reprojection + angle vote
+    # (ReconstructionManager.cpp:98-138 semantics) discards the impostors,
+    # so all eight stay valid.
+    valid = jnp.ones(8, dtype=bool)
     return Rs, ts, ns, valid

@@ -24,6 +24,60 @@ def all_pairs_index(n_frames: int) -> np.ndarray:
     return np.stack([ii, jj], -1).astype(np.int32)
 
 
+def candidate_pairs(
+    desc: jnp.ndarray,       # [N, K, D] L2-normalized descriptors
+    kp_mask: jnp.ndarray,    # [N, K]
+    window: int = 10,
+    retrieval_k: int = 5,
+) -> np.ndarray:
+    """Candidate-pair subset: sequential window ∪ descriptor retrieval.
+
+    The reference matches all O(N^2) ordered pairs (apps/sfm/main.cpp:
+    84-96), which is both quadratic work and — in the dense-table design
+    here — quadratic memory ([P, K] tables). At KITTI scale (N≈4500,
+    BASELINE.md) that is unrunnable on any backend, so candidate selection
+    replaces enumeration:
+
+      * every frame is paired with its ``window`` successors (video order
+        — where nearly all of the reference's surviving edges live), and
+      * each frame retrieves its ``retrieval_k`` most similar non-window
+        frames by pooled-descriptor similarity (one [N,D]x[D,N] MXU
+        matmul), which restores loop-closure edges the window misses.
+
+    Returns [P, 2] int32 with i < j, sorted, deduplicated.
+    """
+    N = desc.shape[0]
+    if window <= 0 or window >= N:
+        return all_pairs_index(N)
+
+    # global frame descriptor: masked mean of local descriptors, renormalized
+    m = kp_mask[..., None].astype(desc.dtype)
+    g = jnp.sum(desc * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    g = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-8)
+    sim = np.asarray(g @ g.T)
+
+    ii = np.repeat(np.arange(N), window)
+    jj = ii + np.tile(np.arange(1, window + 1), N)
+    keep = jj < N
+    pairs = [np.stack([ii[keep], jj[keep]], -1)]
+
+    if retrieval_k > 0:
+        # mask self + window band, then take top-k most similar per frame
+        d = np.abs(np.arange(N)[:, None] - np.arange(N)[None, :])
+        sim = np.where(d <= window, -np.inf, sim)
+        k = min(retrieval_k, max(N - window - 1, 0))
+        if k > 0:
+            top = np.argpartition(-sim, k - 1, axis=1)[:, :k]   # [N, k]
+            a = np.repeat(np.arange(N), k)
+            b = top.reshape(-1)
+            ok = np.isfinite(sim[a, b])
+            a, b = a[ok], b[ok]
+            pairs.append(np.stack([np.minimum(a, b), np.maximum(a, b)], -1))
+
+    allp = np.concatenate(pairs, axis=0).astype(np.int32)
+    return np.unique(allp, axis=0)
+
+
 def invert_matches(match_ij: jnp.ndarray, valid_ij: jnp.ndarray):
     """Invert kp_i -> kp_j maps into kp_j -> kp_i maps by scatter.
 
@@ -48,18 +102,34 @@ def build_match_tables(
     ratio: float = 0.8,
     min_matches: int = 30,
     chunk: int = 16,
+    mesh=None,
+    pair_idx: jnp.ndarray | None = None,
 ):
     """Exhaustive matching + inverse tables.
+
+    With ``mesh`` set, the pair axis is sharded over the mesh devices
+    (parallel.match_all_pairs_sharded) — the distributed form of the
+    reference's TBB pair fan-out (apps/sfm/main.cpp:98). ``pair_idx``
+    overrides the all-pairs enumeration with a candidate subset.
 
     Returns ``(pair_idx [P,2] np.int32, pair_ok, match_ij, valid_ij,
     match_ji, valid_ji)``.
     """
     N = desc.shape[0]
-    pair_idx = jnp.asarray(all_pairs_index(N))
-    match_ij, valid_ij, pair_ok = match_all_pairs(
-        desc, kp_mask, pair_idx, ratio=ratio, min_matches=min_matches,
-        chunk=chunk,
-    )
+    if pair_idx is None:
+        pair_idx = jnp.asarray(all_pairs_index(N))
+    if mesh is not None:
+        from eacham_tpu.parallel.matching import match_all_pairs_sharded
+
+        match_ij, valid_ij, pair_ok = match_all_pairs_sharded(
+            desc, kp_mask, pair_idx, mesh, ratio=ratio,
+            min_matches=min_matches, chunk=chunk,
+        )
+    else:
+        match_ij, valid_ij, pair_ok = match_all_pairs(
+            desc, kp_mask, pair_idx, ratio=ratio, min_matches=min_matches,
+            chunk=chunk,
+        )
     valid_ij = valid_ij & pair_ok[:, None]
     match_ji, valid_ji = invert_matches(match_ij, valid_ij)
     return pair_idx, pair_ok, match_ij, valid_ij, match_ji, valid_ji

@@ -87,6 +87,17 @@ class SfmOptions:
     ransac_hyps_pnp: int = 512
     init_chunk: int = 8
     match_chunk: int = 16
+    # candidate-pair selection: 0 = exhaustive O(N^2) enumeration
+    # (main.cpp:84-96); >0 = sequential window ∪ pooled-descriptor
+    # retrieval (sfm/matches.candidate_pairs) — required past toy N, where
+    # dense [P, K] match tables would exhaust memory
+    pair_window: int = 0
+    pair_retrieval_k: int = 5
+    # distribution: >1 shards pair matching and global BA over a device
+    # mesh (parallel/) — the pipeline's replacement for the reference's
+    # TBB pool (main.cpp:72,98); the local sweep stays single-device
+    # (its windows are small by construction)
+    n_devices: int = 1
     # behavior switches
     pnp_pair_only: bool = False
     run_global_ba: bool = True
@@ -240,13 +251,20 @@ def seed_initial_pair(scene: Scene, pair_row, T2, points, point_ok):
     return scene._replace(kp2lm=flat[:-1].reshape(N, K))
 
 
-def _ba(scene: Scene, cam_in_ba, cfg: BAConfig, min_landmarks: int):
+def _ba(scene: Scene, cam_in_ba, cfg: BAConfig, min_landmarks: int,
+        mesh=None):
     """Build the BA problem, skip if too small (BundleAdjuster.cpp:166-169),
-    run LM, write back."""
+    run LM, write back. With ``mesh``, the observation axis is sharded and
+    the reduced camera system is psum-assembled (parallel/ba.py)."""
     prob = ba_problem_from_scene(scene, cam_in_ba)
     if int(jnp.sum(prob.pt_in_ba)) < min_landmarks:
         return scene, None
-    poses, points, intr, info = refine_ba(prob, cfg)
+    if mesh is not None:
+        from eacham_tpu.parallel.ba import refine_ba_sharded
+
+        poses, points, intr, info = refine_ba_sharded(prob, cfg, mesh)
+    else:
+        poses, points, intr, info = refine_ba(prob, cfg)
     return scene._replace(pose=poses, points=points, intr=intr), info
 
 
@@ -303,11 +321,29 @@ def run_sfm(
                 f"{opt.min_features_count} dropped from the graph")
         kp_mask = kp_mask & enough[:, None]
 
+    mesh = None
+    if opt.n_devices > 1:
+        from eacham_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(opt.n_devices)
+        log(f"mesh: {opt.n_devices} devices "
+            f"({mesh.devices.ravel()[0].platform})")
+
     # ---- match graph (HOT LOOP 2, main.cpp:84-147) ----------------------------
     if match_tables is None:
+        cand = None
+        if opt.pair_window > 0:
+            from eacham_tpu.sfm.matches import candidate_pairs
+
+            cand = jnp.asarray(candidate_pairs(
+                descriptors, kp_mask, window=opt.pair_window,
+                retrieval_k=opt.pair_retrieval_k,
+            ))
+            log(f"candidate pairs: {cand.shape[0]} of {N * (N - 1) // 2}")
         pair_idx, pair_ok, m_ij, v_ij, m_ji, v_ji = build_match_tables(
             descriptors, kp_mask, ratio=opt.match_ratio,
             min_matches=opt.min_matches, chunk=opt.match_chunk,
+            mesh=mesh, pair_idx=cand,
         )
     else:
         from eacham_tpu.sfm.matches import all_pairs_index, invert_matches
@@ -383,7 +419,8 @@ def run_sfm(
         )
         log(f"device sweep: +{int(n_reg)} frames registered, "
             f"{int(jnp.sum(excluded))} excluded")
-        return _finalize(scene, excluded, opt, global_cfg, i0, j0, N, log)
+        return _finalize(scene, excluded, opt, global_cfg, i0, j0, N, log,
+                         mesh=mesh)
 
     n_registered = 2
     min_obs_2 = jnp.int32(2)
@@ -430,7 +467,8 @@ def run_sfm(
             f"(merged {int(n_merged) + int(n_merged3)}){ba_txt}"
         )
 
-    return _finalize(scene, excluded, opt, global_cfg, i0, j0, N, log)
+    return _finalize(scene, excluded, opt, global_cfg, i0, j0, N, log,
+                     mesh=mesh)
 
 
 def resume_sfm(
@@ -492,7 +530,8 @@ def resume_sfm(
     return _finalize(scene, excluded, opt, global_cfg, -1, -1, N, log)
 
 
-def _finalize(scene, excluded, opt: SfmOptions, global_cfg, i0, j0, N, log):
+def _finalize(scene, excluded, opt: SfmOptions, global_cfg, i0, j0, N, log,
+              mesh=None):
     """Global BA (main.cpp:227-231) + run statistics."""
     if opt.run_global_ba and opt.global_max_iters > 0:
         if opt.prune_outliers:
@@ -500,7 +539,8 @@ def _finalize(scene, excluded, opt: SfmOptions, global_cfg, i0, j0, N, log):
 
             scene, n_obs, n_lm = prune_observations(scene, opt.max_repr_error)
             log(f"prune: -{int(n_obs)} observations, -{int(n_lm)} landmarks")
-        scene, info = _ba(scene, scene.pose_valid, global_cfg, opt.min_ba_landmarks)
+        scene, info = _ba(scene, scene.pose_valid, global_cfg,
+                          opt.min_ba_landmarks, mesh=mesh)
         if info is not None:
             log(
                 f"global BA: {float(info['initial_cost']):.1f} -> "
@@ -512,7 +552,8 @@ def _finalize(scene, excluded, opt: SfmOptions, global_cfg, i0, j0, N, log):
 
             scene, n_obs, n_lm = prune_observations(scene, opt.max_repr_error)
             scene, info2 = _ba(
-                scene, scene.pose_valid, global_cfg, opt.min_ba_landmarks
+                scene, scene.pose_valid, global_cfg, opt.min_ba_landmarks,
+                mesh=mesh,
             )
             if info2 is not None:
                 log(

@@ -1,14 +1,26 @@
-"""Sharded-path scaling measurement on a virtual CPU mesh.
+"""Scaling measurement for the sharded pipeline stages.
 
-Real multi-chip ICI scaling needs hardware this environment doesn't have
-(one chip via a tunnel); this script validates the *sharding structure* —
-pair-matrix matching and observation-sharded BA — and measures speedup on
-N virtual CPU devices (bounded by host cores, so treat the numbers as a
-lower bound / smoke signal, not an ICI efficiency claim).
+Two modes:
 
-    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
-        python scripts/scaling_bench.py
+* default (CPU): validates the sharding *structure* on an N-virtual-device
+  CPU mesh and times it. All virtual devices share the same host cores, so
+  wall-clock speedup is bounded by core availability — these numbers are a
+  structure check, not an ICI efficiency claim.
+
+      XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+          python scripts/scaling_bench.py
+
+* ``--tpu``: runs on the real chip and times ONE DEVICE'S SHARD of the
+  pair-matching stage at 1/1, 1/2, 1/4, 1/8 of the pair matrix. Matching
+  is embarrassingly parallel over pairs (no collectives — outputs stay
+  pair-sharded, parallel/matching.py), so the time of a 1/N slice IS the
+  per-device time of an N-chip run up to the (empty) collective cost;
+  efficiency = t_full / (N * t_slice). This is the strongest scaling
+  evidence a single chip can produce.
+
+Results are recorded in SCALING.md.
 """
+import argparse
 import os
 import sys
 import time
@@ -16,26 +28,29 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
-import jax
-
-jax.config.update("jax_platforms", "cpu")
-
-import numpy as np
-import jax.numpy as jnp
+def t_once(fn):
+    fn()
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
-def main():
+def cpu_mesh_mode():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    import jax.numpy as jnp
     from eacham_tpu.ba.core import BAConfig, refine_ba
     from eacham_tpu.features.matching import match_all_pairs
-    from eacham_tpu.parallel import make_mesh, match_all_pairs_sharded, refine_ba_sharded
+    from eacham_tpu.parallel import (
+        make_mesh, match_all_pairs_sharded, refine_ba_sharded,
+    )
     from eacham_tpu.sfm.matches import all_pairs_index
     from tests.test_parallel import _random_problem
 
     rng = np.random.default_rng(0)
-
-    # --- matching: 48 frames x 512 kps -> 1128 pairs -----------------------
     N, K, D = 48, 512, 256
     desc = rng.normal(size=(N, K, D)).astype(np.float32)
     desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
@@ -43,32 +58,68 @@ def main():
     mask = jnp.ones((N, K), bool)
     pair_idx = jnp.asarray(all_pairs_index(N))
 
-    def t_once(fn):
-        fn()
-        t0 = time.perf_counter()
-        fn()
-        return time.perf_counter() - t0
-
     t1 = t_once(lambda: np.asarray(
         match_all_pairs(desc, mask, pair_idx, chunk=32)[2]))
     for nd in (2, 4, 8):
         mesh = make_mesh(nd)
         tn = t_once(lambda: np.asarray(match_all_pairs_sharded(
             desc, mask, pair_idx, mesh, chunk=32)[2]))
-        print(f"matching x{nd}: {t1 / tn:.2f}x speedup "
-              f"({t1 * 1e3:.0f} -> {tn * 1e3:.0f} ms), "
-              f"efficiency {t1 / tn / nd * 100:.0f}%")
+        print(f"matching x{nd} (virtual cpu): {t1 / tn:.2f}x "
+              f"({t1 * 1e3:.0f} -> {tn * 1e3:.0f} ms)")
 
-    # --- BA: shared problem, obs axis sharded ------------------------------
     prob, _, _ = _random_problem(np.random.default_rng(1))
     cfg = BAConfig(max_iters=15, cg_iters=20, solver="pcg")
     t1 = t_once(lambda: np.asarray(refine_ba(prob, cfg)[0]))
     for nd in (2, 4, 8):
         mesh = make_mesh(nd)
         tn = t_once(lambda: np.asarray(refine_ba_sharded(prob, cfg, mesh)[0]))
-        print(f"BA x{nd}: {t1 / tn:.2f}x speedup "
+        print(f"BA x{nd} (virtual cpu): {t1 / tn:.2f}x "
               f"({t1 * 1e3:.0f} -> {tn * 1e3:.0f} ms)")
 
 
+def tpu_slice_mode():
+    """Per-device shard timing on the real chip."""
+    import numpy as np
+    import jax.numpy as jnp
+    from eacham_tpu.features.matching import match_all_pairs
+    from eacham_tpu.sfm.matches import all_pairs_index
+    from eacham_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    rng = np.random.default_rng(0)
+    N, K, D = 100, 1024, 256
+    desc = rng.normal(size=(N, K, D)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+    desc = jnp.asarray(desc)
+    mask = jnp.ones((N, K), bool)
+    pair_idx = np.asarray(all_pairs_index(N))
+    P = pair_idx.shape[0]
+    print(f"pair matrix: {N} frames -> {P} pairs, K={K}, D={D}")
+
+    t_full = None
+    for nd in (1, 2, 4, 8):
+        p_slice = P // nd
+        slice_idx = jnp.asarray(pair_idx[:p_slice])
+        t = t_once(lambda: np.asarray(match_all_pairs(
+            desc, mask, slice_idx, chunk=64)[2]))
+        if nd == 1:
+            t_full = t
+            print(f"matching 1/1 of pairs: {t * 1e3:.0f} ms")
+        else:
+            eff = t_full / (nd * t)
+            print(f"matching 1/{nd} slice ({p_slice} pairs): {t * 1e3:.0f} ms"
+                  f" -> projected {nd}-chip efficiency {eff * 100:.0f}%"
+                  f" (no collectives in this stage)")
+
+
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tpu", action="store_true",
+                    help="real-chip shard-slice timing")
+    args = ap.parse_args()
+    if args.tpu:
+        tpu_slice_mode()
+    else:
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+        cpu_mesh_mode()

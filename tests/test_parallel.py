@@ -92,3 +92,54 @@ def test_sharded_matching_parity(mesh, rng):
         np.asarray(mj1)[np.asarray(mv1)], np.asarray(mj8)[np.asarray(mv8)]
     )
     np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok8))
+
+
+def test_run_sfm_mesh_parity(rng):
+    """run_sfm with n_devices=8 (sharded matching + sharded global BA)
+    must reconstruct the same scene as the single-device path."""
+    from eacham_tpu.sfm import run_sfm, SfmOptions
+    from eacham_tpu.utils.evaluate import ate_rmse
+
+    n_frames, n_pts, f = 8, 160, 120.0
+    pts = rng.uniform(-1, 1, (n_pts, 3)).astype(np.float32)
+    pts[:, 2] += 4.0
+    intr = np.array([f, f, 80.0, 60.0], np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32), (n_frames, 1, 1))
+    for i in range(n_frames):
+        a = 0.04 * i
+        c, s = np.cos(a), np.sin(a)
+        poses[i, :3, :3] = [[c, 0, -s], [0, 1, 0], [s, 0, c]]
+        poses[i, :3, 3] = [0.25 * i, 0.01 * i, 0.02 * i]
+    pc = np.einsum("nij,pj->npi", poses[:, :3, :3], pts) + poses[:, None, :3, 3]
+    uv = np.stack(
+        [f * pc[..., 0] / pc[..., 2] + intr[2],
+         f * pc[..., 1] / pc[..., 2] + intr[3]], -1
+    ).astype(np.float32)
+    vis = pc[..., 2] > 0.1
+    desc = rng.normal(size=(n_pts, 64)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    desc = np.broadcast_to(desc, (n_frames, n_pts, 64)).copy()
+
+    kw = dict(
+        min_initial_inliers=40, min_matches=16,
+        init_min_tri_angle_deg=0.5, min_tri_angle_deg=0.5,
+        ransac_hyps_e=64, ransac_hyps_h=32, ransac_hyps_pnp=64,
+        lm_capacity=1024, refine_max_iters=5, global_max_iters=8,
+        local_ba_max_iters=4,
+    )
+    args = (jnp.asarray(uv), jnp.asarray(desc), jnp.asarray(vis))
+
+    def ate(scene):
+        valid = np.asarray(scene.pose_valid)
+        est = np.asarray(scene.pose)[valid]
+        gt = poses[valid]
+        c_est = -np.einsum("nij,ni->nj", est[:, :3, :3], est[:, :3, 3])
+        c_gt = -np.einsum("nij,ni->nj", gt[:, :3, :3], gt[:, :3, 3])
+        return ate_rmse(c_est, c_gt)
+
+    s1, st1 = run_sfm(*args, image_size=(160, 120), intr=jnp.asarray(intr),
+                      options=SfmOptions(**kw), verbose=False)
+    s8, st8 = run_sfm(*args, image_size=(160, 120), intr=jnp.asarray(intr),
+                      options=SfmOptions(n_devices=8, **kw), verbose=False)
+    assert st8["registered"] == st1["registered"] >= n_frames - 1
+    assert ate(s8) < 0.02 and ate(s1) < 0.02
