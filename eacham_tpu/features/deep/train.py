@@ -26,7 +26,9 @@ import optax
 
 from eacham_tpu.features.deep.superpoint import SuperPointNet, CELL
 from eacham_tpu.features.deep.lightglue import LightGlueMatcher
-from eacham_tpu.utils.synthetic import make_blob_scene, render_view
+from eacham_tpu.utils.synthetic import (
+    make_blob_scene, make_texture, photometric_augment, render_view,
+)
 
 
 # --------------------------------------------------------------------------
@@ -251,5 +253,157 @@ def train_lightglue(steps=300, batch=8, lr=3e-4, n_layers=3, seed=0,
         losses.append(float(l))
         if log_every and i % log_every == 0:
             log(f"[lightglue] step {i}: loss {float(l):.4f} "
+                f"(nll {float(aux[0]):.3f} bce {float(aux[1]):.3f})")
+    return params, losses
+
+
+# --------------------------------------------------------------------------
+# LightGlue training on SuperPoint outputs (domain-matched)
+# --------------------------------------------------------------------------
+
+def sample_image_pair(rng, width=160, height=120, n_blobs=70, textured=True):
+    """Two augmented renders of one scene + the scene/pose GT needed to
+    label detected-keypoint correspondences."""
+    f = 1.2 * max(width, height)
+    intr = np.array([f, f, width / 2, height / 2], np.float32)
+    scene = make_blob_scene(rng, n_blobs=n_blobs, depth=(3.0, 7.0), spread=1.3)
+
+    def rand_pose():
+        T = np.eye(4, dtype=np.float32)
+        a = rng.uniform(-0.08, 0.08)
+        c, s = np.cos(a), np.sin(a)
+        T[:3, :3] = np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]], np.float32)
+        T[:3, 3] = rng.uniform(-0.3, 0.3, 3).astype(np.float32)
+        return T
+
+    T0, T1 = rand_pose(), rand_pose()
+    bg0 = make_texture(rng, height, width) if textured else None
+    bg1 = make_texture(rng, height, width) if textured else None
+    img0 = render_view(scene, T0, intr, width, height, background=bg0)
+    img1 = render_view(scene, T1, intr, width, height, background=bg1)
+    img0 = photometric_augment(img0, rng)
+    img1 = photometric_augment(img1, rng)
+    return img0, img1, scene, T0, T1, intr
+
+
+def _label_correspondence(xy0, m0, xy1, m1, scene, T0, T1, intr, tol=3.0):
+    """gt[i] = index of xy0[i]'s partner in xy1 (or -1): detected keypoints
+    are associated to the nearest GT blob projection within ``tol`` px, and
+    partners share a blob id."""
+    def assoc(xy, m, T):
+        pc = scene["pts"] @ T[:3, :3].T + T[:3, 3]
+        z = np.maximum(pc[:, 2], 1e-6)
+        u = intr[0] * pc[:, 0] / z + intr[2]
+        v = intr[1] * pc[:, 1] / z + intr[3]
+        proj = np.stack([u, v], -1)
+        good = pc[:, 2] > 0.5
+        d = np.linalg.norm(xy[:, None, :] - proj[None, :, :], axis=-1)
+        d = np.where(good[None, :], d, np.inf)
+        blob = np.argmin(d, axis=1)
+        ok = (d[np.arange(len(xy)), blob] < tol) & m
+        return np.where(ok, blob, -1)
+
+    b0 = assoc(np.asarray(xy0), np.asarray(m0), T0)
+    b1 = assoc(np.asarray(xy1), np.asarray(m1), T1)
+    K = len(b0)
+    # first slot in view 1 per blob id
+    lookup = {}
+    for j, b in enumerate(b1):
+        if b >= 0 and b not in lookup:
+            lookup[b] = j
+    gt = np.full((K,), -1, np.int32)
+    for i, b in enumerate(b0):
+        if b >= 0 and b in lookup:
+            gt[i] = lookup[b]
+    return gt
+
+
+def make_sp_batch(sp_params, rng, batch=8, width=160, height=120,
+                  n_blobs=70, max_kps=64, textured=True):
+    """A LightGlue training batch whose keypoints/descriptors come from the
+    ACTUAL SuperPoint forward pass — the domain the matcher sees in
+    production (closing the random-descriptor gap of train_lightglue)."""
+    from eacham_tpu.features.deep.frontend import extract_deep_batch
+
+    pairs = [sample_image_pair(rng, width, height, n_blobs, textured)
+             for _ in range(batch)]
+    imgs = np.stack([p[0] for p in pairs] + [p[1] for p in pairs])
+    xy, desc, score, mask = extract_deep_batch(
+        sp_params, jnp.asarray(imgs), max_keypoints=max_kps)
+    xy, desc, mask = np.asarray(xy), np.asarray(desc), np.asarray(mask)
+    gts = []
+    for b, (i0, i1, scene, T0, T1, intr) in enumerate(pairs):
+        gts.append(_label_correspondence(
+            xy[b], mask[b], xy[batch + b], mask[batch + b],
+            scene, T0, T1, intr))
+    kp0, kp1 = xy[:batch], xy[batch:]
+    # normalize keypoints to ~[-1, 1] (Tools2d.h:25-45 convention)
+    from eacham_tpu.features.deep.lightglue import normalize_keypoints
+    kp0 = np.asarray(normalize_keypoints(
+        jnp.asarray(kp0), float(width), float(height)))
+    kp1 = np.asarray(normalize_keypoints(
+        jnp.asarray(kp1), float(width), float(height)))
+    return (kp0, desc[:batch], mask[:batch],
+            kp1, desc[batch:], mask[batch:], np.stack(gts))
+
+
+def train_lightglue_sp(sp_params, steps=300, batch=8, lr=2e-4, n_layers=3,
+                       seed=0, params=None, n_kps=64, log_every=25,
+                       width=160, height=120, log=print):
+    """Train (or fine-tune) the matcher on SuperPoint-extracted features
+    from rendered pairs. Pass ``params`` (e.g. the random-descriptor
+    pretrain) to fine-tune; None trains from scratch."""
+    from eacham_tpu.features.deep import lightglue as lg
+
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    if params is None:
+        params = lg.init_params(key, n_layers=n_layers, n_kps=n_kps)
+    model = LightGlueMatcher(n_layers=n_layers)
+    warmup = min(max(20, steps // 20), max(steps // 2, 1))
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup_steps=warmup,
+        decay_steps=max(steps, warmup + 1), end_value=lr * 0.2,
+    )
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, kp0, d0, m0, kp1, d1, m1, gt):
+        def loss_fn(p):
+            sim, mt0, mt1 = model.apply(
+                p, kp0, d0, m0, kp1, d1, m1, method="similarity")
+            logp0 = jax.nn.log_softmax(
+                jnp.where(m1[:, None, :], sim, -1e9), axis=2)
+            logp1 = jax.nn.log_softmax(
+                jnp.where(m0[:, :, None], sim, -1e9), axis=1)
+            matched = gt >= 0
+            tgt = jnp.maximum(gt, 0)
+            pick = lambda lp: jnp.take_along_axis(lp, tgt[..., None], 2)[..., 0]
+            nll = -(pick(logp0) + pick(logp1))
+            pos = (nll * matched).sum() / jnp.maximum(matched.sum(), 1)
+            eps = 1e-7
+            bce = -jnp.where(
+                matched, jnp.log(mt0 + eps),
+                jnp.where(m0, jnp.log(1 - mt0 + eps), 0.0)
+            ).sum() / jnp.maximum(m0.sum(), 1)
+            return pos + 0.5 * bce, (pos, bce)
+
+        (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(g, opt_state)
+        return optax.apply_updates(params, updates), opt_state, l, aux
+
+    losses = []
+    for i in range(steps):
+        kp0, d0, m0, kp1, d1, m1, gt = make_sp_batch(
+            sp_params, rng, batch=batch, width=width, height=height,
+            max_kps=n_kps)
+        params, opt_state, l, aux = step(
+            params, opt_state, jnp.asarray(kp0), jnp.asarray(d0),
+            jnp.asarray(m0), jnp.asarray(kp1), jnp.asarray(d1),
+            jnp.asarray(m1), jnp.asarray(gt))
+        losses.append(float(l))
+        if log_every and i % log_every == 0:
+            log(f"[lightglue-sp] step {i}: loss {float(l):.4f} "
                 f"(nll {float(aux[0]):.3f} bce {float(aux[1]):.3f})")
     return params, losses

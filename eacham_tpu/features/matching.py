@@ -32,7 +32,13 @@ def match_pair(
     Ratio test applied in both directions plus mutual-argmax agreement —
     exactly the semantics of FLANN(ratio) + the main-loop cross check.
     """
-    sim = jnp.dot(d1, d2.T, preferred_element_type=jnp.float32)  # [K1, K2]
+    # bf16 MXU passes are fine here: the matmul only ranks similarities and
+    # the ratio/mutual tests are robust to 1e-3-level rounding (eacham_tpu.fp)
+    from eacham_tpu.fp import FAST
+
+    sim = jnp.dot(
+        d1, d2.T, preferred_element_type=jnp.float32, precision=FAST
+    )  # [K1, K2]
     sim = jnp.where(mask1[:, None] & mask2[None, :], sim, NEG)
 
     def top2(s, axis):
@@ -61,7 +67,7 @@ def match_pair(
     return a12.astype(jnp.int32), valid
 
 
-@partial(jax.jit, static_argnames=("ratio", "min_matches", "chunk"))
+@partial(jax.jit, static_argnames=("ratio", "min_matches", "chunk", "backend"))
 def match_all_pairs(
     desc: jnp.ndarray,       # [N, K, D] L2-normalized
     kp_mask: jnp.ndarray,    # [N, K] bool
@@ -69,6 +75,7 @@ def match_all_pairs(
     ratio: float = 0.8,
     min_matches: int = 30,
     chunk: int = 16,
+    backend: str = "auto",   # "auto" | "jnp" | "fused" (Pallas, TPU only)
 ):
     """Exhaustive pair matching (HOT LOOP 2 of the reference,
     apps/sfm/main.cpp:84-147) as a scan of batched matmuls.
@@ -79,9 +86,20 @@ def match_all_pairs(
     "> min_matches survivors" gate (main.cpp:142).
 
     ``chunk`` bounds the live similarity-matrix memory (chunk*K*K floats).
+    ``backend="fused"`` routes each pair through the Pallas kernel
+    (ops/match_kernel.py) that never materializes the similarity matrix in
+    HBM. Measured on one v5e chip (scripts/bench_match_kernel.py, 1024
+    pairs): K=1024 fused 156 ms vs jnp 168 ms (1.07x), K=512 a wash
+    (0.98x), 100% decision agreement — so "auto" picks the kernel on TPU
+    once K reaches 1024 (its edge grows with the K^2 HBM traffic it
+    avoids) and plain jnp elsewhere.
     """
     P = pair_idx.shape[0]
     K = desc.shape[1]
+    if backend == "auto":
+        backend = (
+            "fused" if jax.default_backend() == "tpu" and K >= 1024 else "jnp"
+        )
     pad = (-P) % chunk
     pair_padded = jnp.concatenate(
         [pair_idx, jnp.zeros((pad, 2), dtype=pair_idx.dtype)], axis=0
@@ -89,9 +107,18 @@ def match_all_pairs(
     n_chunks = pair_padded.shape[0] // chunk
     pair_chunks = pair_padded.reshape(n_chunks, chunk, 2)
 
-    def one(pair):
-        i, j = pair[0], pair[1]
-        return match_pair(desc[i], desc[j], kp_mask[i], kp_mask[j], ratio)
+    if backend == "fused":
+        from eacham_tpu.ops.match_kernel import match_pair_fused
+
+        def one(pair):
+            i, j = pair[0], pair[1]
+            return match_pair_fused(
+                desc[i], desc[j], kp_mask[i], kp_mask[j], ratio
+            )
+    else:
+        def one(pair):
+            i, j = pair[0], pair[1]
+            return match_pair(desc[i], desc[j], kp_mask[i], kp_mask[j], ratio)
 
     def step(_, pairs):
         bj, valid = jax.vmap(one)(pairs)

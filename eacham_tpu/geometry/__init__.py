@@ -1,3 +1,4 @@
+import eacham_tpu.fp  # noqa: F401  (fp32-matmul policy, must precede tracing)
 from eacham_tpu.geometry.se3 import (
     hat,
     exp_se3,

@@ -14,6 +14,16 @@ from pathlib import Path
 def enable_compilation_cache(cache_dir: str | None = None) -> str:
     import jax
 
+    # CPU executables are AOT-compiled against the exact machine-feature
+    # set of the compiling process; under feature-masking sandboxes the
+    # same host can produce mutually incompatible entries, and loading a
+    # mismatched one SIGILLs/SEGVs (observed: nondeterministic crashes in
+    # backend_compile / executable.serialize once a mixed cache existed).
+    # CPU compiles are cheap anyway — the cache exists for the minutes-long
+    # TPU Mosaic/XLA compiles, so only engage it off-CPU.
+    if jax.default_backend() == "cpu":
+        return ""
+
     path = Path(
         cache_dir
         or os.environ.get("EACHAM_CACHE_DIR")

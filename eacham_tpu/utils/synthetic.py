@@ -25,16 +25,20 @@ def make_blob_scene(rng, n_blobs: int = 400, depth=(3.0, 8.0), spread=1.5):
     }
 
 
-def render_view(scene: dict, T: np.ndarray, intr, width: int, height: int):
+def render_view(scene: dict, T: np.ndarray, intr, width: int, height: int,
+                background: np.ndarray | None = None):
     """Render one [H, W] grayscale view through world->cam transform T.
 
     Vectorized splatting: each blob paints a bounded window. Blobs behind
-    the camera are skipped (cheirality).
+    the camera are skipped (cheirality). ``background`` (e.g. from
+    make_texture) is added under the blobs — view-independent photometric
+    clutter for training data.
     """
     pts = scene["pts"]
     pc = pts @ np.asarray(T[:3, :3], np.float32).T + np.asarray(T[:3, 3], np.float32)
     fx, fy, cx, cy = (float(v) for v in np.asarray(intr))
-    img = np.zeros((height, width), np.float32)
+    img = (np.zeros((height, width), np.float32) if background is None
+           else background.astype(np.float32).copy())
     vis = pc[:, 2] > 0.2
     u = fx * pc[:, 0] / np.maximum(pc[:, 2], 0.2) + cx
     v = fy * pc[:, 1] / np.maximum(pc[:, 2], 0.2) + cy
@@ -54,6 +58,39 @@ def render_view(scene: dict, T: np.ndarray, intr, width: int, height: int):
         ry = (-s * dx + c * dy) / scene["sy"][k]
         img[y0:y1, x0:x1] += scene["amp"][k] * np.exp(-0.5 * (rx * rx + ry * ry))
     return np.clip(img, 0.0, 1.0)
+
+
+def make_texture(rng, height: int, width: int, cells: int = 8,
+                 amplitude: float = 0.18):
+    """Smooth low-frequency background texture (bilinear-upsampled random
+    grid) — photometric structure that is NOT scene geometry, so detectors
+    and descriptors trained on these renders must learn to cope with
+    non-keypoint image content."""
+    grid = rng.uniform(0.0, amplitude, (cells + 1, cells + 1)).astype(np.float32)
+    ys = np.linspace(0, cells, height, dtype=np.float32)
+    xs = np.linspace(0, cells, width, dtype=np.float32)
+    y0 = np.clip(ys.astype(np.int32), 0, cells - 1)
+    x0 = np.clip(xs.astype(np.int32), 0, cells - 1)
+    fy = (ys - y0)[:, None]
+    fx = (xs - x0)[None, :]
+    g = grid
+    return ((1 - fy) * (1 - fx) * g[y0][:, x0]
+            + (1 - fy) * fx * g[y0][:, x0 + 1]
+            + fy * (1 - fx) * g[y0 + 1][:, x0]
+            + fy * fx * g[y0 + 1][:, x0 + 1]).astype(np.float32)
+
+
+def photometric_augment(img: np.ndarray, rng, brightness: float = 0.12,
+                        contrast: float = 0.25, gamma: float = 0.25,
+                        noise: float = 0.015) -> np.ndarray:
+    """Per-view exposure/gamma/sensor-noise jitter (train-time augmentation
+    closing part of the synthetic-to-real photometric gap)."""
+    g = float(np.exp(rng.uniform(-gamma, gamma)))
+    out = np.clip(img, 0.0, 1.0) ** g
+    out = out * (1.0 + rng.uniform(-contrast, contrast))
+    out = out + rng.uniform(-brightness, brightness)
+    out = out + rng.normal(scale=noise, size=out.shape)
+    return np.clip(out, 0.0, 1.0).astype(np.float32)
 
 
 def orbit_poses(n_frames: int, radius: float = 0.8, step_deg: float = 2.0,

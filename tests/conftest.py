@@ -63,3 +63,18 @@ def make_synthetic_scene(rng, n_cams=6, n_pts=200, noise=0.0, img=(640, 480), f=
 @pytest.fixture
 def synthetic_scene(rng):
     return make_synthetic_scene(rng)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    One process compiles hundreds of XLA:CPU programs across the suite;
+    past a threshold the CPU backend's JIT aborts/segfaults
+    nondeterministically (observed at test_pipeline/test_pnp compile time
+    once ~70 earlier tests had run). Dropping the executable caches at
+    module boundaries keeps the live-program count bounded; each module
+    recompiles its own programs anyway.
+    """
+    yield
+    jax.clear_caches()

@@ -91,3 +91,36 @@ def test_cli_nerf_output(cli_run):
     want = np.linalg.inv(pose) @ np.diag([1.0, -1.0, -1.0, 1.0])
     got = np.asarray(nerf["frames"][0]["transform_matrix"])
     np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_cli_dogleg_preconditioner_config(dataset, tmp_path):
+    """Config-driven optimizer selection end-to-end: method=DogLeg +
+    use_preconditioner=true must (a) map onto SfmOptions/BAConfig
+    (SfmConfig.h:15-24 paths, with the globalOpt-reads-refine bug fixed)
+    and (b) drive an observably different optimizer through the CLI."""
+    import json as _json
+    from eacham_tpu.cli import run
+    from eacham_tpu.io.config import load_config
+
+    root, cfg_path, poses_gt, intr = dataset
+    cfg = _json.loads(Path(cfg_path).read_text())
+    cfg["refine_ba"] = {"method": "DogLeg", "max_iter": 20,
+                        "max_toler": 1e-5, "delta": 4.0,
+                        "use_preconditioner": True}
+    cfg["global_ba"] = {"method": "DogLeg", "max_iter": 30,
+                        "max_toler": 1e-6, "delta": 6.0,
+                        "use_preconditioner": True}
+    cfg["transform_path"] = "/transform_dogleg.json"
+    dl_path = tmp_path / "config_dogleg.json"
+    dl_path.write_text(_json.dumps(cfg))
+
+    parsed = load_config(dl_path)
+    opts = parsed.to_options()
+    assert opts.refine_method == "DogLeg" and opts.global_method == "DogLeg"
+    assert opts.refine_solver == "pcg" and opts.global_solver == "pcg"
+    assert opts.refine_delta == 4.0 and opts.global_delta == 6.0
+
+    stats = run(str(dl_path), max_keypoints=512, verbose=False)
+    assert stats["initialized"] and stats["registered"] >= 8
+    out = _json.loads((root / "transform_dogleg.json").read_text())
+    assert len(out["frames"]) == stats["registered"]

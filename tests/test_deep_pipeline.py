@@ -98,3 +98,63 @@ def test_deep_extraction_reconstruction():
     ce = -np.einsum("nij,ni->nj", est[:, :3, :3], est[:, :3, 3])
     cg = -np.einsum("nij,ni->nj", gt[:, :3, :3], gt[:, :3, 3])
     assert ate_rmse(ce, cg) < 0.15
+
+
+@pytest.mark.skipif(
+    not ((WEIGHTS / "superpoint.npz").exists()
+         and (WEIGHTS / "lightglue.npz").exists()),
+    reason="no trained weights checked in",
+)
+def test_full_deep_path_reconstruction():
+    """The production deep path END TO END: rendered images -> trained
+    SuperPoint features -> trained LightGlue matching -> run_sfm.
+
+    This is the pairing the reference treats as its flagship GPU feature
+    (FeatureMatcherLightglue.cpp:94-124); the matcher weights are trained
+    on SuperPoint outputs (train_lightglue_sp), not random descriptors."""
+    from eacham_tpu.features.deep import lightglue as lg
+    from eacham_tpu.features.deep import superpoint as sp
+    from eacham_tpu.features.deep.frontend import (
+        extract_deep_batch, match_all_pairs_deep,
+    )
+    from eacham_tpu.sfm.matches import all_pairs_index
+    from eacham_tpu.utils.synthetic import render_sequence
+
+    key = jax.random.PRNGKey(0)
+    sp_params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32),
+        lg.load_params(WEIGHTS / "superpoint.npz", sp.init_params(key)))
+    n_layers = 3
+    meta = WEIGHTS / "lightglue.meta"
+    if meta.exists():
+        n_layers = int([l for l in meta.read_text().splitlines()
+                        if l.startswith("n_layers")][0].split("=")[1])
+    lg_params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32),
+        lg.load_params(WEIGHTS / "lightglue.npz",
+                       lg.init_params(key, n_layers=n_layers)))
+
+    rng = np.random.default_rng(5)
+    images, poses_gt, intr = render_sequence(
+        rng, n_frames=10, width=320, height=240)
+    xy, desc, score, mask = extract_deep_batch(
+        sp_params, jnp.asarray(images), max_keypoints=384)
+    tables = match_all_pairs_deep(
+        lg_params, xy, desc, mask, jnp.asarray(all_pairs_index(10)),
+        (320, 240), n_layers=n_layers, min_matches=15)
+    assert int(tables[2].sum()) >= 20   # most pairs must survive matching
+
+    opts = SfmOptions(min_initial_inliers=50, min_matches=15,
+                      init_min_tri_angle_deg=1.0, min_tri_angle_deg=0.8,
+                      ransac_hyps_e=256, ransac_hyps_h=128,
+                      ransac_hyps_pnp=256, lm_capacity=8192)
+    scene, stats = run_sfm(xy, desc, mask, image_size=(320, 240),
+                           intr=jnp.asarray(intr, jnp.float32),
+                           options=opts, verbose=False, match_tables=tables)
+    assert stats["registered"] >= 9
+    valid = np.asarray(scene.pose_valid)
+    est = np.asarray(scene.pose)[valid]
+    gt = poses_gt[valid]
+    ce = -np.einsum("nij,ni->nj", est[:, :3, :3], est[:, :3, 3])
+    cg = -np.einsum("nij,ni->nj", gt[:, :3, :3], gt[:, :3, 3])
+    assert ate_rmse(ce, cg) < 0.05

@@ -1,0 +1,86 @@
+"""Streaming (SENSOR-type) incremental reconstruction: frames arrive in
+windows, registration happens per arrival, state checkpoints and resumes
+between windows (sfm/streaming.py — the modality the reference declares
+in DataSourceTypes.h:7-18 but never implements)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from eacham_tpu.sfm import SfmOptions
+from eacham_tpu.sfm.streaming import StreamingReconstructor
+from eacham_tpu.utils.evaluate import ate_rmse
+from eacham_tpu.utils.synthetic import make_blob_scene, orbit_poses, render_view
+
+
+@pytest.fixture(scope="module")
+def stream_scene():
+    """24 frames with solid per-frame parallax (2.5 deg/frame orbit) —
+    marginal-baseline scenes make every SfM backend seed-sensitive."""
+    rng = np.random.default_rng(7)
+    W, H = 320, 240
+    f = 1.2 * max(W, H)
+    intr = np.array([f, f, W / 2, H / 2], np.float32)
+    blobs = make_blob_scene(rng, n_blobs=600, depth=(3.0, 8.0), spread=2.2)
+    poses = orbit_poses(24, radius=1.0, step_deg=2.5, advance=0.12)
+    images = np.stack([render_view(blobs, T, intr, W, H) for T in poses])
+    return images, poses, intr
+
+
+def _opts():
+    return SfmOptions(
+        max_features=256, min_initial_inliers=40, min_matches=15,
+        match_ratio=0.85, init_min_tri_angle_deg=1.0, min_tri_angle_deg=1.0,
+        ransac_hyps_e=128, ransac_hyps_h=64, ransac_hyps_pnp=128,
+        lm_capacity=4096, refine_max_iters=10, global_max_iters=20,
+        local_ba_max_iters=4,
+    )
+
+
+def test_streaming_three_windows_with_checkpoint(stream_scene, tmp_path):
+    images, poses_gt, intr = stream_scene
+    rec = StreamingReconstructor(
+        image_size=(320, 240), intr=intr, options=_opts(),
+        max_frames=32, window=8, retrieval_k=2,
+    )
+
+    st1 = rec.process(images[:8])
+    assert st1["arrived"] == 8
+    assert st1.get("registered", 0) >= 6     # init + sweep on window 1
+
+    st2 = rec.process(images[8:16])
+    assert st2["registered"] >= 14
+
+    # checkpoint mid-stream, restore into a fresh object, keep going
+    ckpt = tmp_path / "stream.npz"
+    rec.checkpoint(ckpt)
+    rec2 = StreamingReconstructor.restore(
+        ckpt, image_size=(320, 240), options=_opts(),
+        window=8, retrieval_k=2)
+    assert rec2.n_frames == 16 and rec2.initialized
+
+    st3 = rec2.process(images[16:24])
+    assert st3["arrived"] == 24
+    assert st3["registered"] >= 22
+
+    scene = rec2.scene
+    valid = np.asarray(scene.pose_valid)[:24]
+    est = np.asarray(scene.pose)[:24][valid]
+    gt = poses_gt[valid]
+    c_est = -np.einsum("nij,ni->nj", est[:, :3, :3], est[:, :3, 3])
+    c_gt = -np.einsum("nij,ni->nj", gt[:, :3, :3], gt[:, :3, 3])
+    assert ate_rmse(c_est, c_gt) < 0.08
+
+    # unarrived capacity rows must stay unregistered
+    assert not np.asarray(scene.pose_valid)[24:].any()
+
+
+def test_streaming_capacity_guard(stream_scene):
+    images, _, intr = stream_scene
+    rec = StreamingReconstructor(
+        image_size=(320, 240), intr=intr, options=_opts(),
+        max_frames=8, window=3, retrieval_k=0,
+    )
+    rec.process(images[:8])
+    with pytest.raises(ValueError, match="capacity"):
+        rec.process(images[8:16])
