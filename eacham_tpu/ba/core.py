@@ -82,13 +82,16 @@ class BAConfig(NamedTuple):
     #   ~cg_iters sequential operator applications; the TPU-right choice
     #   whenever W = [L, N, 6, 3] fits (L * N * 72 bytes), e.g. every local
     #   BA and small-to-mid global BA.
-    # "auto": dense when the W tensor is under dense_budget_bytes. The
-    # budget is deliberately conservative: the dense path materializes
-    # several W-sized tensors per LM iteration inside larger programs
-    # (device-loop sweeps), and oversized buffers have crashed the TPU
-    # worker outright at ~0.5 GB W.
+    # "auto": dense when the W tensor is under dense_budget_bytes, counted
+    # in PHYSICAL (tiled) bytes: TPU tiles the minor (6, 3) dims of each
+    # [L*N, 6, 3] block to (8, 128), a ~7x inflation over the logical
+    # size. Several W-sized tensors live per LM iteration, and oversized
+    # buffers crash the TPU worker outright (observed at lm_capacity
+    # 65536 x 16 cams = 4.3 GB tiled per tensor). The 1.25 GB default
+    # admits the standard local window (16 cams x 16384 landmarks
+    # = 1.07 GB tiled) and routes anything larger to the implicit PCG path.
     solver: str = "auto"
-    dense_budget_bytes: int = 96 * 1024 * 1024
+    dense_budget_bytes: int = 1_342_177_280  # 1.25 GiB of tiled W
     # dense path: >0 = Jacobi-CG iterations on the materialized system
     # (latency-optimal on TPU); 0 = exact Cholesky solve
     dense_cg_iters: int = 64
@@ -587,7 +590,8 @@ def refine_ba(p: BAProblem, cfg: BAConfig = BAConfig(),
     elif cfg.solver == "pcg":
         use_dense = False
     else:
-        w_bytes = p.points.shape[0] * p.poses.shape[0] * 18 * 4
+        # physical tiled size: minor dims (6, 3) pad to (8, 128) on TPU
+        w_bytes = p.points.shape[0] * p.poses.shape[0] * 8 * 128 * 4
         use_dense = w_bytes <= cfg.dense_budget_bytes
     solve = _solve_schur_dense if use_dense else _solve_schur_pcg
 

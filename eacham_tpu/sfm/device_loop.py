@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from eacham_tpu.ba.core import BAConfig, refine_ba
 from eacham_tpu.sfm.pipeline import next_best_view, pnp_register, local_neighbors
 from eacham_tpu.sfm.scene import (
-    Scene, ba_problem_windowed, scatter_window_poses,
+    Scene, ba_problem_windowed, scatter_window_poses, scatter_window_points,
 )
 from eacham_tpu.sfm.triangulate import triangulate_frame
 
@@ -75,7 +75,7 @@ def registration_sweep(
         # compact the local problem to a static window: the current frame's
         # neighborhood is small, and the windowed shapes keep every LM
         # iteration cheap (and dense-Schur-eligible) at any scene size
-        prob, cam_list, cam_on = ba_problem_windowed(
+        prob, cam_list, cam_on, lm_list, lm_on = ba_problem_windowed(
             scene, nb, max_cams=ba_max_cams, max_obs=ba_max_obs, cur=cur,
         )
         n_lm = jnp.sum(prob.pt_in_ba)
@@ -83,7 +83,8 @@ def registration_sweep(
         def run_ba(s):
             poses, points, intr, _ = refine_ba(prob, ba_cfg)
             s = scatter_window_poses(s, cam_list, cam_on, poses)
-            return s._replace(points=points, intr=intr)
+            s = scatter_window_points(s, lm_list, lm_on, points)
+            return s._replace(intr=intr)
 
         scene = jax.lax.cond(
             n_lm >= min_ba_landmarks, run_ba, lambda s: s, scene

@@ -188,7 +188,8 @@ def ba_problem_windowed(
     cur: jnp.ndarray | None = None,
 ):
     """Compact local-BA problem: participating cameras gathered into a
-    static [max_cams] window, their observations into [max_obs] slots.
+    static [max_cams] window, their observations into [max_obs] slots, and
+    the landmark axis into [min(max_obs, L)] rows.
 
     At reference scale (100+ frames) the full padded problem makes every
     local-BA iteration pay for all N*K observation slots and all N camera
@@ -196,8 +197,16 @@ def ba_problem_windowed(
     BundleAdjuster.cpp:123-145 — rarely more than a dozen cameras) is
     6-10x smaller and small enough for the dense Schur path.
 
-    Returns (BAProblem, cam_list [max_cams] int32, cam_on [max_cams] bool);
-    write back with ``scatter_window_poses``.
+    The landmark compaction matters on TPU: the dense Schur W blocks are
+    [L_prob * C, 6, 3] and the chip tiles the minor dims to (8, 128) — a
+    7x physical inflation. At lm_capacity 65536, C=16 that is ~4.3 GB per
+    W-shaped tensor and the worker OOM-crashes; a window of max_cams
+    frames can observe at most max_obs distinct landmarks, so compacting
+    to that bound keeps the sweep's memory independent of scene capacity.
+
+    Returns (BAProblem, cam_list [max_cams] int32, cam_on [max_cams] bool,
+    lm_list [max_lms] int32, lm_on [max_lms] bool); write back with
+    ``scatter_window_poses`` / ``scatter_window_points``.
     """
     N, K = scene.kp_mask.shape
     L = scene.lm_capacity
@@ -242,26 +251,43 @@ def ba_problem_windowed(
     ].set(True)[:-1]
     pt_in_ba = scene.lm_valid & (counts >= min_observers) & seen
 
+    # --- landmark compaction ------------------------------------------------
+    max_lms = min(max_obs, L)
+    lm_val, lm_list = jax.lax.top_k(pt_in_ba.astype(jnp.int32), max_lms)
+    lm_on = lm_val > 0
+    lm_remap = jnp.full((L,), -1, jnp.int32).at[lm_list].max(
+        jnp.where(lm_on, jnp.arange(max_lms, dtype=jnp.int32), -1)
+    )
+    obs_pt_w = lm_remap[obs_pt]
+    o_mask = o_mask & (obs_pt_w >= 0)
+    obs_pt_w = jnp.maximum(obs_pt_w, 0)
+
     prob = BAProblem(
         poses=scene.pose[cam_list],
-        points=scene.points,
+        points=scene.points[lm_list],
         intr=scene.intr,
         obs_cam=obs_cam,
-        obs_pt=obs_pt,
+        obs_pt=obs_pt_w,
         obs_uv=obs_uv,
         obs_mask=o_mask,
         cam_in_ba=cam_on,
         cam_fixed=scene.pose_fixed[cam_list] | (~cam_on),
-        pt_in_ba=pt_in_ba,
-        pt_obs_count=jnp.maximum(counts, 1.0),
+        pt_in_ba=lm_on,
+        pt_obs_count=jnp.maximum(counts[lm_list], 1.0),
     )
-    return prob, cam_list, cam_on
+    return prob, cam_list, cam_on, lm_list, lm_on
 
 
 def scatter_window_poses(scene: Scene, cam_list, cam_on, new_poses):
     """Write optimized window poses back into the scene."""
     merged = jnp.where(cam_on[:, None, None], new_poses, scene.pose[cam_list])
     return scene._replace(pose=scene.pose.at[cam_list].set(merged))
+
+
+def scatter_window_points(scene: Scene, lm_list, lm_on, new_points):
+    """Write optimized window landmarks back into the scene."""
+    merged = jnp.where(lm_on[:, None], new_points, scene.points[lm_list])
+    return scene._replace(points=scene.points.at[lm_list].set(merged))
 
 
 def alloc_landmarks(scene: Scene, new_points: jnp.ndarray, new_ok: jnp.ndarray):
