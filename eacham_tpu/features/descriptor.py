@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from eacham_tpu.features.detector import (
-    SIGMA0, STEP, N_SCALES, build_scale_space, _gauss_kernel,
+    SIGMA0, STEP, N_SCALES, octave_stacks, _gauss_kernel,
 )
 
 GRID = 4          # spatial cells per side
@@ -91,12 +91,22 @@ def describe_keypoints(
     happens in the keypoint's own octave (coords / 2^o, per-level cell
     size), so descriptor support scales with detected blob size.
     """
+    return describe_from_stacks(octave_stacks(img, n_octaves), xy,
+                                scale_idx, mask)
+
+
+def describe_from_stacks(
+    stacks,                  # octave_stacks(img, n_octaves)
+    xy: jnp.ndarray,         # [K, 2] full-resolution pixels
+    scale_idx: jnp.ndarray,  # [K] int32
+    mask: jnp.ndarray,       # [K] bool
+):
+    """Descriptors from precomputed per-octave Gaussian stacks (shared
+    with the detector — the pyramid convs dominate extraction cost)."""
     K = xy.shape[0]
 
     desc = jnp.zeros((K, GRID * GRID, BINS), jnp.float32)
-    cur = img
-    for o in range(n_octaves):
-        g, _ = build_scale_space(cur)
+    for o, g in enumerate(stacks):
         factor = float(2 ** o)
         for s in range(N_SCALES - 1):                 # DoG levels only
             lvl = g[s]
@@ -131,8 +141,6 @@ def describe_keypoints(
             desc = jnp.where(
                 (scale_idx == combined)[:, None, None], d_s, desc
             )
-        if o + 1 < n_octaves:
-            cur = g[3][::2, ::2]
 
     desc = desc.reshape(K, DESC_DIM)
     # normalize -> clip 0.2 -> renormalize (standard SIFT illumination guard)

@@ -51,7 +51,14 @@ def _sep_blur(img: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
 
 
 def build_scale_space(img: jnp.ndarray):
-    """[H, W] grayscale (0..1) -> gaussians [S, H, W], dogs [S-1, H, W]."""
+    """[H, W] grayscale (0..1) -> gaussians [S, H, W], dogs [S-1, H, W].
+
+    Each level blurs the base image directly (NOT the incremental
+    sigma-delta cascade: composing 3-sigma-truncated kernels measurably
+    shifts the DoG values, and a marginal-parallax init that passes with
+    direct kernels fails with the cascade — the ~1.35x tap saving is not
+    worth the accuracy risk).
+    """
     levels = []
     for i in range(N_SCALES):
         sigma = SIGMA0 * (STEP ** i)
@@ -59,6 +66,21 @@ def build_scale_space(img: jnp.ndarray):
     g = jnp.stack(levels)
     dog = g[1:] - g[:-1]
     return g, dog
+
+
+def octave_stacks(img: jnp.ndarray, n_octaves: int):
+    """Per-octave Gaussian stacks [(S, H/2^o, W/2^o)], shared by the
+    detector and the descriptor (built once per frame — the pyramid convs
+    dominate extraction cost). Octave o+1 is seeded by subsampling octave
+    o's sigma = 2*SIGMA0 level (the standard SIFT cascade)."""
+    stacks = []
+    cur = img
+    for o in range(n_octaves):
+        g, _ = build_scale_space(cur)
+        stacks.append(g)
+        if o + 1 < n_octaves:
+            cur = g[3][::2, ::2]
+    return stacks
 
 
 def _maxpool3(x: jnp.ndarray) -> jnp.ndarray:
@@ -189,10 +211,23 @@ def detect_keypoints(
     o+1 is seeded by subsampling octave o's sigma = 2*SIGMA0 level (the
     SIFT cascade), so per-octave blurs stay short.
     """
+    return detect_from_stacks(
+        octave_stacks(img, n_octaves), max_keypoints,
+        contrast_threshold, border,
+    )
+
+
+def detect_from_stacks(
+    stacks,                        # octave_stacks(img, n_octaves)
+    max_keypoints: int = 1024,
+    contrast_threshold: float = 0.006,
+    border: int = 16,
+):
+    """Detection from precomputed per-octave Gaussian stacks (shared with
+    the descriptor via ``octave_stacks`` so the pyramid is built once)."""
     per_oct = []
-    cur = img
-    for o in range(n_octaves):
-        g, dog = build_scale_space(cur)
+    for o, g in enumerate(stacks):
+        dog = g[1:] - g[:-1]
         b = max(border >> o, 4)
         xy, sidx, score, mask = _detect_in_dog(
             dog, max_keypoints, contrast_threshold, b
@@ -204,8 +239,6 @@ def detect_keypoints(
             jnp.where(mask, score, -jnp.inf),
             mask,
         ))
-        if o + 1 < n_octaves:
-            cur = g[3][::2, ::2]      # sigma = 2*SIGMA0 level, halved
 
     xy = jnp.concatenate([p[0] for p in per_oct])
     sidx = jnp.concatenate([p[1] for p in per_oct])

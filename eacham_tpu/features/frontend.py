@@ -13,8 +13,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from eacham_tpu.features.detector import detect_keypoints
-from eacham_tpu.features.descriptor import describe_keypoints
+from eacham_tpu.features.detector import detect_from_stacks, octave_stacks
+from eacham_tpu.features.descriptor import describe_from_stacks
 
 
 @partial(jax.jit, static_argnames=("max_keypoints", "frame_chunk"))
@@ -36,11 +36,15 @@ def extract_features(
     N = images.shape[0]
 
     def one(img):
-        xy, sidx, score, mask = detect_keypoints(
-            img, max_keypoints=max_keypoints,
+        # build the Gaussian pyramid ONCE and share it: the inner jit
+        # boundaries of detect_keypoints/describe_keypoints would otherwise
+        # compute the pyramid (the dominant conv cost) twice per frame
+        stacks = octave_stacks(img, 3)
+        xy, sidx, score, mask = detect_from_stacks(
+            stacks, max_keypoints=max_keypoints,
             contrast_threshold=contrast_threshold,
         )
-        desc = describe_keypoints(img, xy, sidx, mask)
+        desc = describe_from_stacks(stacks, xy, sidx, mask)
         return xy, desc, score, mask
 
     chunk = min(frame_chunk, N)
