@@ -32,9 +32,10 @@ from eacham_tpu.sfm.triangulate import triangulate_frame
     static_argnames=(
         "min_pnp_inliers", "min_ba_landmarks", "ba_cfg", "max_observers",
         "n_hyp_pnp", "pnp_pair_only", "ba_max_cams", "ba_max_obs",
+        "max_steps",
     ),
 )
-def registration_sweep(
+def registration_sweep_step(
     scene: Scene,
     excluded: jnp.ndarray,       # [N] bool
     pid_tbl: jnp.ndarray,        # [N, N] int32 pair-id lookup
@@ -49,8 +50,11 @@ def registration_sweep(
     pnp_pair_only: bool = False,
     ba_max_cams: int = 16,
     ba_max_obs: int = 16384,
+    max_steps: int | None = None,
 ):
-    """Register every reachable frame. Returns (scene, excluded, n_registered).
+    """Register up to ``max_steps`` frames (one dispatch).
+    Returns (scene, excluded, n_registered, more) where ``more`` means the
+    loop stopped on the step limit with candidates remaining.
 
     Per iteration (mirroring main.cpp:195-225):
       next_best_view -> PnP (gate: min_pnp_inliers) -> triangulate(minObs=2)
@@ -59,6 +63,7 @@ def registration_sweep(
       excluded set (main.cpp:212-217).
     """
     N = scene.kp_mask.shape[0]
+    limit = N if max_steps is None else min(max_steps, N)
 
     def do_register(op):
         scene, cur, T = op
@@ -116,8 +121,45 @@ def registration_sweep(
 
     def cond(state):
         _, _, _, _, it, cont = state
-        return cont & (it < N)
+        return cont & (it < limit)
 
     init = (scene, excluded, key, jnp.int32(0), jnp.int32(0), jnp.asarray(True))
-    scene, excluded, _, n_reg, _, _ = jax.lax.while_loop(cond, body, init)
-    return scene, excluded, n_reg
+    scene, excluded, _, n_reg, it, cont = jax.lax.while_loop(cond, body, init)
+    return scene, excluded, n_reg, cont & (it >= limit)
+
+
+def registration_sweep(
+    scene: Scene,
+    excluded: jnp.ndarray,
+    pid_tbl: jnp.ndarray,
+    key,
+    max_repr_error: float,
+    min_tri_angle: float,
+    segment: int = 0,
+    **kw,
+):
+    """Register every reachable frame. Returns (scene, excluded, n_registered).
+
+    ``segment`` > 0 splits the on-device loop into dispatches of that many
+    frames: state stays on the device between dispatches (the host only
+    reads one scalar), so the cost is one dispatch round-trip per segment —
+    but no single XLA program runs longer than ~segment frame-iterations,
+    which keeps long reconstructions inside the TPU runtime's per-program
+    patience and gives the host a progress heartbeat.
+    """
+    N = scene.kp_mask.shape[0]
+    if segment <= 0 or segment >= N:
+        scene, excluded, n_reg, _ = registration_sweep_step(
+            scene, excluded, pid_tbl, key, max_repr_error, min_tri_angle,
+            **kw)
+        return scene, excluded, n_reg
+    total = jnp.int32(0)
+    for s in range(0, N + segment, segment):
+        key, k = jax.random.split(key)
+        scene, excluded, n_reg, more = registration_sweep_step(
+            scene, excluded, pid_tbl, k, max_repr_error, min_tri_angle,
+            max_steps=segment, **kw)
+        total = total + n_reg
+        if not bool(more):
+            break
+    return scene, excluded, total

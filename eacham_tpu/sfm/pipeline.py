@@ -102,6 +102,9 @@ class SfmOptions:
     pnp_pair_only: bool = False
     run_global_ba: bool = True
     device_loop: bool = True   # run HOT LOOP 3 as one on-device while_loop
+    # frames per sweep dispatch (0 = whole loop in one program); long
+    # reconstructions need bounded per-program runtime on the TPU runtime
+    sweep_segment: int = 128
     # outlier-observation pruning around global BA (deviation from the
     # reference, which never prunes — strictly improves robustness)
     prune_outliers: bool = True
@@ -416,6 +419,7 @@ def run_sfm(
             pnp_pair_only=opt.pnp_pair_only,
             ba_max_cams=opt.local_ba_max_cams,
             ba_max_obs=min(opt.local_ba_max_obs, N * keypoints.shape[1]),
+            segment=opt.sweep_segment,
         )
         log(f"device sweep: +{int(n_reg)} frames registered, "
             f"{int(jnp.sum(excluded))} excluded")
@@ -525,6 +529,7 @@ def resume_sfm(
         pnp_pair_only=opt.pnp_pair_only,
         ba_max_cams=opt.local_ba_max_cams,
         ba_max_obs=min(opt.local_ba_max_obs, N * scene.kp_mask.shape[1]),
+        segment=opt.sweep_segment,
     )
     log(f"resume sweep: +{int(n_reg)} frames registered")
     return _finalize(scene, excluded, opt, global_cfg, -1, -1, N, log)

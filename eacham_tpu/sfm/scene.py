@@ -179,6 +179,28 @@ def ba_problem_from_scene(
     )
 
 
+def _compact_mask(mask: jnp.ndarray, m: int):
+    """Indices of the first ``m`` True entries of a flat bool mask.
+
+    Order-preserving compaction via cumsum + scatter — O(n), replacing the
+    sort-based ``top_k`` (which at n = N*K or lm_capacity dominates the
+    windowed-problem build inside the sweep program).
+
+    Returns ``(idx [m] int32 — clamped to 0 where off, on [m] bool,
+    pos [n] int32 — destination slot per entry, -1 where not taken)``.
+    """
+    n = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    take = mask & (pos < m)
+    pos = jnp.where(take, pos, -1)
+    dst = jnp.where(take, pos, m)                       # m = dump slot
+    idx = jnp.full((m + 1,), -1, jnp.int32).at[dst].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )[:-1]
+    on = idx >= 0
+    return jnp.maximum(idx, 0), on, pos
+
+
 def ba_problem_windowed(
     scene: Scene,
     cam_in_ba: jnp.ndarray,
@@ -240,10 +262,9 @@ def ba_problem_windowed(
         & scene.kp_mask.reshape(-1)
         & lm_ok
     )
-    _, pick = jax.lax.top_k(in_window.astype(jnp.int32), max_obs)
-    o_mask = in_window[pick]
+    pick, o_mask, _ = _compact_mask(in_window, max_obs)
     obs_cam = jnp.maximum(remap[frame[pick]], 0)
-    obs_pt = jnp.maximum(lm[pick], 0)
+    obs_pt = jnp.where(o_mask, lm[pick], 0)
     obs_uv = scene.keypoints.reshape(-1, 2)[pick]
 
     seen = jnp.zeros((L + 1,), bool).at[
@@ -253,11 +274,7 @@ def ba_problem_windowed(
 
     # --- landmark compaction ------------------------------------------------
     max_lms = min(max_obs, L)
-    lm_val, lm_list = jax.lax.top_k(pt_in_ba.astype(jnp.int32), max_lms)
-    lm_on = lm_val > 0
-    lm_remap = jnp.full((L,), -1, jnp.int32).at[lm_list].max(
-        jnp.where(lm_on, jnp.arange(max_lms, dtype=jnp.int32), -1)
-    )
+    lm_list, lm_on, lm_remap = _compact_mask(pt_in_ba, max_lms)
     obs_pt_w = lm_remap[obs_pt]
     o_mask = o_mask & (obs_pt_w >= 0)
     obs_pt_w = jnp.maximum(obs_pt_w, 0)

@@ -4,6 +4,7 @@ Caches rendered features in /tmp/feat500.npz so iterations skip the
 render+extract cost.  Usage: python scripts/bisect_500.py [stage]
 stage in {features, nbv, pnp, tri, ba, sweep} (default: all in order).
 """
+import os
 import sys
 import time
 from pathlib import Path
@@ -13,7 +14,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 CACHE = Path("/tmp/feat500.npz")
-N, W, H, KPS = 500, 384, 288, 512
+import os as _os
+N_FULL, W, H, KPS = 500, 384, 288, 512
+N = int(_os.environ.get("BISECT_N", N_FULL))
 
 
 def get_features():
@@ -73,13 +76,14 @@ def main():
 
     enable_compilation_cache()
     xy, desc, mask, intr, poses = get_features()
+    xy, desc, mask, poses = xy[:N], desc[:N], mask[:N], poses[:N]
 
     t0 = time.perf_counter()
     cand = jnp.asarray(candidate_pairs(desc, mask, window=10, retrieval_k=3))
     pair_idx, pair_ok, m_ij, v_ij, m_ji, v_ji = build_match_tables(
         desc, mask, min_matches=25, ratio=0.85, chunk=32, pair_idx=cand)
     scene = make_scene(xy, mask, pair_idx, pair_ok, m_ij, v_ij, m_ji, v_ji,
-                       jnp.asarray(intr), lm_capacity=65536)
+                       jnp.asarray(intr), lm_capacity=int(os.environ.get("BISECT_LMCAP", 65536)))
     pid = jnp.asarray(pair_id_table(np.asarray(pair_idx), N))
     print(f"match+scene {time.perf_counter() - t0:.0f}s "
           f"({int(pair_ok.sum())} edges)", flush=True)
@@ -108,7 +112,8 @@ def main():
         print(f"{label:28s} {time.perf_counter() - t0:8.1f} s", flush=True)
         return out
 
-    cfg = BAConfig(max_iters=8, tolerance=3e-4)
+    cfg = BAConfig(max_iters=8, tolerance=3e-4,
+                   solver=os.environ.get("BISECT_SOLVER", "auto"))
     if "nbv" in stages:
         prev, cur, sc = clock("next_best_view", lambda: next_best_view(
             scene, excluded))

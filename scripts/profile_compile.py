@@ -23,7 +23,7 @@ def main():
     from eacham_tpu.features.frontend import extract_features
     from eacham_tpu.features.matching import match_all_pairs
     from eacham_tpu.sfm import SfmOptions
-    from eacham_tpu.sfm.device_loop import registration_sweep
+    from eacham_tpu.sfm.device_loop import registration_sweep_step
     from eacham_tpu.sfm.filtering import prune_observations
     from eacham_tpu.sfm.matches import build_match_tables
     from eacham_tpu.sfm.pipeline import rank_init_pairs, seed_initial_pair
@@ -80,7 +80,7 @@ def main():
 
     opt = SfmOptions()
     cfg = BAConfig(max_iters=8, tolerance=3e-4)
-    clock("registration_sweep (compile)", lambda: registration_sweep.lower(
+    clock("registration_sweep (compile)", lambda: registration_sweep_step.lower(
         scene, jnp.zeros((N,), bool), pid, key,
         8.0, np.deg2rad(1.0),
         min_pnp_inliers=15, min_ba_landmarks=50, ba_cfg=cfg,
