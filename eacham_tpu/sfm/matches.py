@@ -104,6 +104,7 @@ def build_match_tables(
     chunk: int = 16,
     mesh=None,
     pair_idx: jnp.ndarray | None = None,
+    pair_bucket: bool = True,
 ):
     """Exhaustive matching + inverse tables.
 
@@ -112,12 +113,28 @@ def build_match_tables(
     reference's TBB pair fan-out (apps/sfm/main.cpp:98). ``pair_idx``
     overrides the all-pairs enumeration with a candidate subset.
 
+    ``pair_bucket`` pads the pair axis up to a coarse size bucket with
+    (0, 0) dummy rows (forced pair_ok=False): the number of surviving
+    candidate pairs is content-dependent, and every distinct P recompiles
+    the match scan and all downstream [P, K] programs — bucketing makes
+    nearby problem sizes share one compiled program. Dummy rows are inert:
+    every consumer gates on pair_ok, and pair_id_table[0, 0] is a diagonal
+    entry no edge walk ever dereferences.
+
     Returns ``(pair_idx [P,2] np.int32, pair_ok, match_ij, valid_ij,
-    match_ji, valid_ji)``.
+    match_ji, valid_ji)`` — P includes the bucket padding.
     """
     N = desc.shape[0]
     if pair_idx is None:
         pair_idx = jnp.asarray(all_pairs_index(N))
+    if pair_bucket:
+        P0 = pair_idx.shape[0]
+        step = 64 if P0 <= 1024 else 512
+        pad = (-P0) % step
+        if pad:
+            pair_idx = jnp.concatenate(
+                [pair_idx, jnp.zeros((pad, 2), pair_idx.dtype)], axis=0
+            )
     if mesh is not None:
         from eacham_tpu.parallel.matching import match_all_pairs_sharded
 
@@ -130,6 +147,8 @@ def build_match_tables(
             desc, kp_mask, pair_idx, ratio=ratio, min_matches=min_matches,
             chunk=chunk,
         )
+    # bucket-padding dummies (i == j) are never real edges
+    pair_ok = pair_ok & (pair_idx[:, 0] < pair_idx[:, 1])
     valid_ij = valid_ij & pair_ok[:, None]
     match_ji, valid_ji = invert_matches(match_ij, valid_ij)
     return pair_idx, pair_ok, match_ij, valid_ij, match_ji, valid_ji

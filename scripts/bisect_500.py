@@ -146,7 +146,8 @@ def main():
             scene, excluded, pid, key, 8.0, float(np.deg2rad(0.8)),
             min_pnp_inliers=15, min_ba_landmarks=50, ba_cfg=cfg,
             max_observers=12, n_hyp_pnp=256, pnp_pair_only=False,
-            ba_max_cams=16, ba_max_obs=16384))
+            ba_max_cams=16, ba_max_obs=16384,
+            segment=int(os.environ.get("BISECT_SEGMENT", 0))))
         print("  sweep registered:", int(out[2]))
 
 
