@@ -136,6 +136,7 @@ def registration_sweep(
     max_repr_error: float,
     min_tri_angle: float,
     segment: int = 0,
+    on_segment=None,
     **kw,
 ):
     """Register every reachable frame. Returns (scene, excluded, n_registered).
@@ -146,6 +147,11 @@ def registration_sweep(
     but no single XLA program runs longer than ~segment frame-iterations,
     which keeps long reconstructions inside the TPU runtime's per-program
     patience and gives the host a progress heartbeat.
+
+    ``on_segment(scene) -> scene`` runs between segment dispatches (NOT
+    after the final one) — the hook for interim global BA, which arrests
+    the pose drift a purely local-window sweep accumulates over hundreds
+    of frames.
     """
     N = scene.kp_mask.shape[0]
     if segment <= 0 or segment >= N:
@@ -162,4 +168,6 @@ def registration_sweep(
         total = total + n_reg
         if not bool(more):
             break
+        if on_segment is not None:
+            scene = on_segment(scene)
     return scene, excluded, total

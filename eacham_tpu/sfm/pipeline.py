@@ -105,6 +105,10 @@ class SfmOptions:
     # frames per sweep dispatch (0 = whole loop in one program); long
     # reconstructions need bounded per-program runtime on the TPU runtime
     sweep_segment: int = 128
+    # LM iterations of interim global BA between sweep segments (0 = off).
+    # A purely local-window sweep drifts over hundreds of frames; pulling
+    # the whole registered scene tight every segment arrests it.
+    interim_ba_iters: int = 10
     # outlier-observation pruning around global BA (deviation from the
     # reference, which never prunes — strictly improves robustness)
     prune_outliers: bool = True
@@ -408,6 +412,18 @@ def run_sfm(
         from eacham_tpu.sfm.device_loop import registration_sweep
 
         key, k_sweep = jax.random.split(key)
+        on_segment = None
+        if opt.interim_ba_iters > 0:
+            interim_cfg = global_cfg._replace(max_iters=opt.interim_ba_iters)
+
+            def on_segment(s):
+                s, info = _ba(s, s.pose_valid, interim_cfg,
+                              opt.min_ba_landmarks, mesh=mesh)
+                if info is not None:
+                    log(f"interim BA: {float(info['initial_cost']):.1f} -> "
+                        f"{float(info['final_cost']):.1f}")
+                return s
+
         scene, excluded, n_reg = registration_sweep(
             scene, excluded, pid_tbl, k_sweep,
             opt.max_repr_error, opt.min_tri_angle,
@@ -420,6 +436,7 @@ def run_sfm(
             ba_max_cams=opt.local_ba_max_cams,
             ba_max_obs=min(opt.local_ba_max_obs, N * keypoints.shape[1]),
             segment=opt.sweep_segment,
+            on_segment=on_segment,
         )
         log(f"device sweep: +{int(n_reg)} frames registered, "
             f"{int(jnp.sum(excluded))} excluded")

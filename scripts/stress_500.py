@@ -50,10 +50,14 @@ def main():
     t0 = time.perf_counter()
     poses = []
     for i in range(N):
-        a = np.deg2rad(0.12 * i)
+        # ~0.4 deg/frame yaw + 0.045/frame translation: 10-frame pairs see
+        # 2.5-5 deg of parallax at the 4-14 blob depth — realistic video
+        # motion (0.12 deg/frame left every triangulation at the 0.8 deg
+        # floor and the map drowned in depth noise)
+        a = np.deg2rad(0.4 * i)
         c, s = np.cos(a), np.sin(a)
         R = np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]], np.float32)
-        t = np.array([0.02 * i, 0.004 * i, 0.01 * i], np.float32)
+        t = np.array([0.04 * i, 0.005 * i, 0.02 * i], np.float32)
         T = np.eye(4, dtype=np.float32)
         T[:3, :3] = R
         T[:3, 3] = t
