@@ -112,10 +112,29 @@ def recover_pose_two_view(
     best = jnp.argmax(counts)
     h_ok = counts[best] > min_h_points
 
+    # The reference takes the H path whenever H inliers > 0.9 * E inliers
+    # (cpp:87) — but on a 3-D scene under a small baseline H fits nearly as
+    # well as E while its decomposed pose is unstable, so that rule poisons
+    # the seed exactly when initialization matters most. Demand absolute
+    # dominance too: a genuinely planar scene is explained by H for
+    # essentially every match (the plane-crossing test's case), while a 3-D
+    # cloud leaves a depth-spread tail H cannot absorb. (A pure-rotation
+    # pair also passes this gate, but its triangulation angles are tiny, so
+    # the init's min-angle gates reject the pair regardless of path.)
+    # ... and on top of dominance, the H pose must triangulate at least as
+    # many gated points as the E pose (>=, not >: on a noise-free plane
+    # both explain everything and the tie must go to H, whose
+    # decomposition is the only well-posed one there).
     use_h = (
-        res_h.n_inliers.astype(jnp.float32)
-        > h_over_e_ratio * res_e.n_inliers.astype(jnp.float32)
-    ) & h_ok
+        (
+            res_h.n_inliers.astype(jnp.float32)
+            > h_over_e_ratio * res_e.n_inliers.astype(jnp.float32)
+        )
+        & h_ok
+        & (res_h.n_inliers.astype(jnp.float32)
+           > 0.85 * jnp.sum(valid).astype(jnp.float32))
+        & (counts[best] >= jnp.sum(ok_e))
+    )
 
     T = jnp.where(use_h, Ts[best], T_e)
     pts = jnp.where(use_h, pts_c[best], pts_e)

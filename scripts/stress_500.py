@@ -21,8 +21,8 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=500)
-    ap.add_argument("--width", type=int, default=384)
-    ap.add_argument("--height", type=int, default=288)
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--height", type=int, default=384)
     ap.add_argument("--kps", type=int, default=512)
     args = ap.parse_args()
 
@@ -45,22 +45,34 @@ def main():
 
     # long slow orbit: the camera advances along a circle around a large
     # blob field; consecutive frames overlap heavily, distant ones don't
-    scene_blobs = make_blob_scene(rng, n_blobs=4000, depth=(4.0, 14.0),
+    # 2200 blobs at 512x384: dense enough for 512 keypoints/frame but
+    # distinctive enough that descriptor matches stay unambiguous
+    # (4000 blobs at 384x288 was visual clutter: false matches stitched
+    # different blobs into one track and the map drifted, ATE ~1)
+    scene_blobs = make_blob_scene(rng, n_blobs=2200, depth=(4.0, 14.0),
                                   spread=7.0)
     t0 = time.perf_counter()
+    # look-at orbit around the blob-field center: every frame faces the
+    # structure (no walk-off at 500 frames), and the 0.5 deg/frame arc at
+    # radius 8 gives 10-frame pairs ~4-5 deg of parallax — comfortably
+    # above the 0.8 deg triangulation floor (0.12 deg/frame drowned the
+    # map in depth noise; a straight 0.04/frame walk left the field)
+    center = np.array([0.0, 0.0, 9.0], np.float32)
+    orbit_r = 14.0   # field half-extent ~7 -> blobs sit 7-21 units away
     poses = []
     for i in range(N):
-        # ~0.4 deg/frame yaw + 0.045/frame translation: 10-frame pairs see
-        # 2.5-5 deg of parallax at the 4-14 blob depth — realistic video
-        # motion (0.12 deg/frame left every triangulation at the 0.8 deg
-        # floor and the map drowned in depth noise)
-        a = np.deg2rad(0.4 * i)
-        c, s = np.cos(a), np.sin(a)
-        R = np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]], np.float32)
-        t = np.array([0.04 * i, 0.005 * i, 0.02 * i], np.float32)
+        a = np.deg2rad(0.5 * i)
+        cam = center + orbit_r * np.array(
+            [np.sin(a), 0.025 * np.sin(5 * a), -np.cos(a)], np.float32)
+        fwd = center - cam
+        fwd /= np.linalg.norm(fwd)
+        right = np.cross([0.0, 1.0, 0.0], fwd)
+        right /= np.linalg.norm(right)
+        up = np.cross(fwd, right)
+        R = np.stack([right, up, fwd]).astype(np.float32)   # world->cam
         T = np.eye(4, dtype=np.float32)
         T[:3, :3] = R
-        T[:3, 3] = t
+        T[:3, 3] = -R @ cam
         poses.append(T)
     poses = np.stack(poses)
     images = np.stack([
@@ -71,7 +83,7 @@ def main():
 
     opts = SfmOptions(
         pair_window=10, pair_retrieval_k=3,
-        min_initial_inliers=80, min_matches=25, match_ratio=0.85,
+        min_initial_inliers=80, min_matches=25, match_ratio=0.80,
         init_min_tri_angle_deg=0.8, min_tri_angle_deg=0.8,
         ransac_hyps_e=256, ransac_hyps_h=128, ransac_hyps_pnp=256,
         lm_capacity=65536, refine_max_iters=30, global_max_iters=40,
