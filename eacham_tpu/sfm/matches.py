@@ -96,6 +96,65 @@ def invert_matches(match_ij: jnp.ndarray, valid_ij: jnp.ndarray):
     return jax.vmap(one)(match_ij, valid_ij)
 
 
+def verify_matches_epipolar(
+    keypoints: jnp.ndarray,   # [N, K, 2] pixels
+    pair_idx: jnp.ndarray,    # [P, 2]
+    match_ij: jnp.ndarray,    # [P, K]
+    valid_ij: jnp.ndarray,    # [P, K]
+    intr: jnp.ndarray,        # [4]
+    key,
+    px_threshold: float = 4.0,
+    n_hyp: int = 64,
+    chunk: int = 32,
+):
+    """Geometric verification of every match edge: per-pair essential-matrix
+    RANSAC keeps only epipolar-consistent matches.
+
+    The reference trusts ratio+mutual survivors and lets the downstream
+    RANSAC stages absorb outliers — but false matches that are *mutual*
+    (repetitive structure) corrupt landmark merging and drag the windowed
+    BA; with clean correspondences the same 500-frame reconstruction goes
+    from ATE ~3.5 to ~0.003 (GT-feature control). Verification is one
+    batched scan of 8-point MSAC over the pair axis — MXU-shaped like the
+    matcher itself. A pure-rotation pair is safe: its true matches satisfy
+    x2^T [t]x R x1 = 0 for every t, so only false matches are cut.
+
+    Returns the filtered ``valid_ij``.
+    """
+    from eacham_tpu.geometry.camera import pixel_to_normalized
+    from eacham_tpu.geometry.epipolar import estimate_essential
+
+    P, K = match_ij.shape
+    f_mean = 0.5 * (intr[0] + intr[1])
+    thr = px_threshold / f_mean
+
+    pad = (-P) % chunk
+    rows = jnp.arange(P + pad, dtype=jnp.int32)
+    keys = jax.vmap(lambda r: jax.random.fold_in(key, r))(rows)
+
+    pi = jnp.concatenate([pair_idx, jnp.zeros((pad, 2), pair_idx.dtype)])
+    mi = jnp.concatenate([match_ij, jnp.zeros((pad, K), match_ij.dtype)])
+    vi = jnp.concatenate([valid_ij, jnp.zeros((pad, K), bool)])
+
+    def one(k, pair, mj, v):
+        uv1 = keypoints[pair[0]]
+        uv2 = keypoints[pair[1]][mj]
+        xy1 = pixel_to_normalized(uv1, intr)
+        xy2 = pixel_to_normalized(uv2, intr)
+        res = estimate_essential(k, xy1, xy2, v, thr, n_hyp=n_hyp)
+        return v & res.inliers
+
+    def step(_, args):
+        return None, jax.vmap(one)(*args)
+
+    n_chunks = (P + pad) // chunk
+    resh = lambda a: a.reshape(n_chunks, chunk, *a.shape[1:])
+    _, out = jax.lax.scan(
+        step, None, (resh(keys), resh(pi), resh(mi), resh(vi))
+    )
+    return out.reshape(-1, K)[:P]
+
+
 def build_match_tables(
     desc: jnp.ndarray,       # [N, K, D] L2-normalized descriptors
     kp_mask: jnp.ndarray,    # [N, K]
@@ -105,6 +164,7 @@ def build_match_tables(
     mesh=None,
     pair_idx: jnp.ndarray | None = None,
     pair_bucket: bool = True,
+    verify: tuple | None = None,   # (keypoints, intr, key, px_thr, n_hyp)
 ):
     """Exhaustive matching + inverse tables.
 
@@ -149,6 +209,13 @@ def build_match_tables(
         )
     # bucket-padding dummies (i == j) are never real edges
     pair_ok = pair_ok & (pair_idx[:, 0] < pair_idx[:, 1])
+    if verify is not None:
+        kps, intr, key, px_thr, n_hyp = verify
+        valid_ij = verify_matches_epipolar(
+            kps, pair_idx, match_ij, valid_ij, intr, key,
+            px_threshold=px_thr, n_hyp=n_hyp, chunk=chunk,
+        )
+        pair_ok = pair_ok & (jnp.sum(valid_ij, axis=-1) > min_matches)
     valid_ij = valid_ij & pair_ok[:, None]
     match_ji, valid_ji = invert_matches(match_ij, valid_ij)
     return pair_idx, pair_ok, match_ij, valid_ij, match_ji, valid_ji

@@ -109,6 +109,11 @@ class SfmOptions:
     # A purely local-window sweep drifts over hundreds of frames; pulling
     # the whole registered scene tight every segment arrests it.
     interim_ba_iters: int = 10
+    # per-pair essential-matrix verification of the match graph (RANSAC
+    # hypotheses per pair; 0 = off). Mutual+ratio survivors still contain
+    # false matches on repetitive structure, and those corrupt landmark
+    # merging; epipolar filtering removes them for every downstream stage.
+    verify_hyps: int = 64
     # outlier-observation pruning around global BA (deviation from the
     # reference, which never prunes — strictly improves robustness)
     prune_outliers: bool = True
@@ -131,7 +136,13 @@ def rank_init_pairs(scene: Scene, max_dim: float):
     The reference scans edges in storage order (Utils.h:24-33) and a
     match-count-only order favors adjacent frames with near-zero baseline,
     which fail the triangulation-angle gate one expensive two-view check
-    at a time. Motion weighting front-loads pairs that can actually pass.
+    at a time.
+
+    The parallax proxy is the SPREAD of the flow field around its mean
+    vector, not the mean magnitude: a rotating (e.g. look-at/orbiting)
+    camera produces large nearly-uniform flow at zero baseline, while
+    actual baseline makes flow depth-dependent — only the deviation
+    signals triangulable geometry.
     """
     i = scene.pair_idx[:, 0]
     j = scene.pair_idx[:, 1]
@@ -139,11 +150,16 @@ def rank_init_pairs(scene: Scene, max_dim: float):
     uv_j = jnp.take_along_axis(
         scene.keypoints[j], scene.match_ij[..., None], axis=1
     )
-    disp = jnp.linalg.norm(uv_i - uv_j, axis=-1)
+    flow = uv_j - uv_i                                       # [P, K, 2]
     v = scene.valid_ij
     n = jnp.sum(v, axis=1)
-    motion = jnp.sum(jnp.where(v, disp, 0.0), axis=1) / jnp.maximum(n, 1)
-    weight = jnp.minimum(motion / (0.1 * max_dim), 1.0)
+    mean_flow = (
+        jnp.sum(jnp.where(v[..., None], flow, 0.0), axis=1)
+        / jnp.maximum(n, 1)[:, None]
+    )
+    dev = jnp.linalg.norm(flow - mean_flow[:, None, :], axis=-1)
+    spread = jnp.sum(jnp.where(v, dev, 0.0), axis=1) / jnp.maximum(n, 1)
+    weight = jnp.minimum(spread / (0.03 * max_dim), 1.0)
     return jnp.where(scene.pair_ok, n * weight, -1.0)
 
 
@@ -347,10 +363,16 @@ def run_sfm(
                 retrieval_k=opt.pair_retrieval_k,
             ))
             log(f"candidate pairs: {cand.shape[0]} of {N * (N - 1) // 2}")
+        verify = None
+        if opt.verify_hyps > 0:
+            key, k_ver = jax.random.split(key)
+            verify = (keypoints, jnp.asarray(intr) if intr is not None
+                      else intrinsics_from_image_size(*image_size),
+                      k_ver, opt.max_repr_error, opt.verify_hyps)
         pair_idx, pair_ok, m_ij, v_ij, m_ji, v_ji = build_match_tables(
             descriptors, kp_mask, ratio=opt.match_ratio,
             min_matches=opt.min_matches, chunk=opt.match_chunk,
-            mesh=mesh, pair_idx=cand,
+            mesh=mesh, pair_idx=cand, verify=verify,
         )
     else:
         from eacham_tpu.sfm.matches import all_pairs_index, invert_matches
@@ -368,7 +390,11 @@ def run_sfm(
     )
     pid_tbl = jnp.asarray(pair_id_table(pair_idx, N))
     n_edges = int(jnp.sum(pair_ok))
-    log(f"match graph: {n_edges}/{pair_idx.shape[0]} edges survive")
+    span = np.asarray(jnp.abs(pair_idx[:, 1] - pair_idx[:, 0]))
+    ok_np = np.asarray(pair_ok)
+    n_far = int((ok_np & (span > max(N // 4, 30))).sum())
+    log(f"match graph: {n_edges}/{pair_idx.shape[0]} edges survive "
+        f"({n_far} long-range, max span {int((span * ok_np).max())})")
 
     # ---- initial pair (main.cpp:161-162) ---------------------------------------
     score = np.asarray(rank_init_pairs(scene, float(max(image_size))))

@@ -53,7 +53,10 @@ def main():
                                   spread=7.0)
     t0 = time.perf_counter()
     # look-at orbit around the blob-field center: every frame faces the
-    # structure (no walk-off at 500 frames), and the 0.5 deg/frame arc at
+    # structure (no walk-off at 500 frames); the orbit overshoots 360 deg
+    # so the tail revisits the start and the retrieval candidates close
+    # the loop (a non-closing arc has no long-range constraints and the
+    # scale drift of windowed-BA frontiers goes unchecked), and the arc at
     # radius 8 gives 10-frame pairs ~4-5 deg of parallax — comfortably
     # above the 0.8 deg triangulation floor (0.12 deg/frame drowned the
     # map in depth noise; a straight 0.04/frame walk left the field)
@@ -61,7 +64,7 @@ def main():
     orbit_r = 14.0   # field half-extent ~7 -> blobs sit 7-21 units away
     poses = []
     for i in range(N):
-        a = np.deg2rad(0.5 * i)
+        a = np.deg2rad(360.0 * 1.04 * i / N)
         cam = center + orbit_r * np.array(
             [np.sin(a), 0.025 * np.sin(5 * a), -np.cos(a)], np.float32)
         fwd = center - cam
