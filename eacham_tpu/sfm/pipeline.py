@@ -114,6 +114,14 @@ class SfmOptions:
     # false matches on repetitive structure, and those corrupt landmark
     # merging; epipolar filtering removes them for every downstream stage.
     verify_hyps: int = 64
+    # loop closing: when long-range candidate edges survive matching, run
+    # relative-pose measurements -> pose-graph optimization -> map rebuild
+    # between the sweep and the final global BA. A local-window sweep
+    # drifts over long trajectories; by closure time the reprojection-
+    # gated merge rejects every loop link, so loops must close in POSE
+    # space first (no reference counterpart — it has no loop handling).
+    loop_close: bool = True
+    pgo_iters: int = 12
     # outlier-observation pruning around global BA (deviation from the
     # reference, which never prunes — strictly improves robustness)
     prune_outliers: bool = True
@@ -466,6 +474,29 @@ def run_sfm(
         )
         log(f"device sweep: +{int(n_reg)} frames registered, "
             f"{int(jnp.sum(excluded))} excluded")
+
+        if opt.loop_close and opt.pair_window > 0 and n_far > 0:
+            from eacham_tpu.sfm.posegraph import (
+                edge_measurements, optimize_pose_graph, rebuild_map,
+            )
+
+            key, k_pg = jax.random.split(key)
+            T_meas, w_meas = edge_measurements(
+                scene.keypoints, pair_idx, pair_ok, m_ij, v_ij,
+                scene.intr, k_pg, px_threshold=opt.max_repr_error,
+            )
+            scene = scene._replace(pose=optimize_pose_graph(
+                scene.pose, scene.pose_valid, scene.pose_fixed,
+                pair_idx, T_meas, w_meas, iters=opt.pgo_iters,
+            ))
+            scene = rebuild_map(
+                scene, pid_tbl, opt.max_repr_error, opt.min_tri_angle,
+                max_observers=opt.max_observers,
+                segment=opt.sweep_segment or 128,
+            )
+            log(f"pose graph: {n_far} loop edges closed, map rebuilt "
+                f"({int(jnp.sum(scene.lm_valid))} landmarks)")
+
         return _finalize(scene, excluded, opt, global_cfg, i0, j0, N, log,
                          mesh=mesh)
 

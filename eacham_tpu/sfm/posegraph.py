@@ -1,0 +1,338 @@
+"""Pose-graph optimization: loop closing for long trajectories.
+
+The incremental sweep refines a 16-camera window per frame, so pose error
+accumulates along the trajectory. By the time a loop closes, the revisited
+frames are metres away from where their features say they should be — the
+reprojection-gated landmark merge (triangulate.py, max_repr_error) rejects
+every loop link, the global BA never sees a long-range constraint, and the
+drift survives (observed: N=500 orbit, match purity 99%, 71 loop edges in
+the graph, final ATE ~7; the same run with GT track identity: ATE 0.003).
+
+The fix — standard in SfM/SLAM, absent from the reference — is to close
+loops in POSE space, where two-view measurements are drift-independent:
+
+  1. ``edge_measurements``: per surviving match edge, essential-matrix
+     MSAC + cheirality voting gives the relative rotation and unit
+     translation direction (batched over the pair axis, MXU-shaped like
+     the matcher).
+  2. ``optimize_pose_graph``: damped Gauss-Newton over all camera poses
+     minimizing rotation-log and translation-direction residuals. The
+     whole-residual Jacobian is materialized by autodiff (a few-thousand
+     parameter dense solve — trivial for the MXU; no sparse machinery).
+  3. ``rebuild_map``: with drift-free poses, wipe the landmark table and
+     re-run the per-frame merge/triangulation pass so loop links finally
+     connect; the global BA then polishes everything.
+
+No reference counterpart (fatlipp/eacham has no loop handling); closest
+in spirit to its global BA stage (apps/sfm/main.cpp:228-231).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from eacham_tpu.geometry.camera import pixel_to_normalized
+from eacham_tpu.geometry.epipolar import estimate_essential, recover_pose
+from eacham_tpu.geometry.se3 import exp_se3, inverse_se3
+from eacham_tpu.sfm.scene import Scene
+from eacham_tpu.sfm.triangulate import triangulate_frame
+
+
+@partial(jax.jit, static_argnames=("n_hyp", "chunk"))
+def edge_measurements(
+    keypoints: jnp.ndarray,    # [N, K, 2]
+    pair_idx: jnp.ndarray,     # [P, 2]
+    pair_ok: jnp.ndarray,      # [P]
+    match_ij: jnp.ndarray,     # [P, K]
+    valid_ij: jnp.ndarray,     # [P, K]
+    intr: jnp.ndarray,         # [4]
+    key,
+    px_threshold: float = 4.0,
+    n_hyp: int = 128,
+    chunk: int = 32,
+):
+    """Relative-pose measurement per match edge.
+
+    Returns ``(T_meas [P, 4, 4], weight [P])`` — T_meas maps cam_i coords
+    to cam_j (the two-view convention of recover_pose), translation
+    normalized to unit length; weight is the cheirality-consistent inlier
+    count (0 where the edge is off or the estimate unusable).
+    """
+    P, K = match_ij.shape
+    f_mean = 0.5 * (intr[0] + intr[1])
+    thr = px_threshold / f_mean
+
+    pad = (-P) % chunk
+    rows = jnp.arange(P + pad, dtype=jnp.int32)
+    keys = jax.vmap(lambda r: jax.random.fold_in(key, r))(rows)
+    cat = lambda a, fill: jnp.concatenate(
+        [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)]) if pad else a
+    pi = cat(pair_idx, 0)
+    mi = cat(match_ij, 0)
+    vi = cat(valid_ij & pair_ok[:, None], False)
+
+    def one(k, pair, mj, v):
+        uv1 = keypoints[pair[0]]
+        uv2 = keypoints[pair[1]][mj]
+        xy1 = pixel_to_normalized(uv1, intr)
+        xy2 = pixel_to_normalized(uv2, intr)
+        res = estimate_essential(k, xy1, xy2, v, thr, n_hyp=n_hyp)
+        T, n_good, _ = recover_pose(res.model, xy1, xy2, res.inliers)
+        t = T[:3, 3]
+        T = T.at[:3, 3].set(t / jnp.maximum(jnp.linalg.norm(t), 1e-9))
+        return T, n_good.astype(jnp.float32)
+
+    def step(_, args):
+        return None, jax.vmap(one)(*args)
+
+    n_chunks = (P + pad) // chunk
+    resh = lambda a: a.reshape(n_chunks, chunk, *a.shape[1:])
+    _, (T, w) = jax.lax.scan(step, None, (resh(keys), resh(pi), resh(mi),
+                                          resh(vi)))
+    T = T.reshape(-1, 4, 4)[:P]
+    w = w.reshape(-1)[:P]
+    return T, jnp.where(pair_ok, w, 0.0)
+
+
+def _log_so3(R: jnp.ndarray) -> jnp.ndarray:
+    """SO(3) log (batched) — rotation-residual coordinates.
+
+    Gradient-safe at R -> I (the converged state the optimizer DIFFERENTIATES
+    through): arccos has an infinite derivative at cos=1, and the NaN leaks
+    through jnp.where from the unselected branch, so the small-angle branch
+    feeds arccos a safe constant and expresses the Taylor form directly in
+    cos(theta) (theta^2 ~ 2(1-cos) near zero).
+    """
+    trace = jnp.trace(R, axis1=-2, axis2=-1)
+    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-6, 1.0)
+    small = cos_t > 1.0 - 1e-5
+    cos_safe = jnp.where(small, 0.0, cos_t)
+    theta = jnp.arccos(cos_safe)
+    k = jnp.where(small, 0.5 + (1.0 - cos_t) / 6.0,
+                  theta / (2.0 * jnp.sin(theta)))
+    Rd = R - jnp.swapaxes(R, -1, -2)
+    return k[..., None] * jnp.stack(
+        [Rd[..., 2, 1], Rd[..., 0, 2], Rd[..., 1, 0]], axis=-1)
+
+
+def optimize_pose_graph(
+    poses: jnp.ndarray,       # [N, 4, 4] world->cam
+    pose_valid: jnp.ndarray,  # [N]
+    pose_fixed: jnp.ndarray,  # [N] gauge anchors (at least one valid)
+    pair_idx: jnp.ndarray,    # [P, 2]
+    T_meas: jnp.ndarray,      # [P, 4, 4] unit-translation relative poses
+    weight: jnp.ndarray,      # [P] measurement confidence (0 = unused)
+    iters: int = 12,
+    rot_sigma: float = 0.02,   # rad — relative-rotation noise scale
+    dir_sigma: float = 0.05,   # unit-vector noise scale
+    min_weight: float = 20.0,
+):
+    """Damped Gauss-Newton over all poses; returns refined [N, 4, 4].
+
+    Residuals per edge (i, j): log(R_meas^T R_j R_i^T) / rot_sigma and
+    (unit(t_rel) - t_meas) / dir_sigma, both scaled by sqrt(weight).
+    Translation directions leave the global scale free — the update is
+    followed by a similarity re-scaling about the anchor camera so the
+    map's scale is preserved for the downstream re-triangulation.
+    """
+    N = poses.shape[0]
+    dt = poses.dtype
+    on = pose_valid[pair_idx[:, 0]] & pose_valid[pair_idx[:, 1]] & (
+        weight >= min_weight)
+    sw = jnp.sqrt(jnp.where(on, weight, 0.0))
+    sw = sw / jnp.maximum(jnp.max(sw), 1e-9)
+    R_meas = T_meas[:, :3, :3]
+    t_meas = T_meas[:, :3, 3]
+    free = pose_valid & (~pose_fixed)
+    ii = pair_idx[:, 0]
+    jj = pair_idx[:, 1]
+    R0 = poses[:, :3, :3]
+
+    def _lm(residuals, x0, n_iter):
+        n_par = int(np.prod(x0.shape))
+
+        def body(_, state):
+            x, lam = state
+            r = residuals(x)
+            J = jax.jacrev(
+                lambda v: residuals(v.reshape(x0.shape)))(x.reshape(-1))
+            H = J.T @ J
+            g = J.T @ r
+            scale = jnp.maximum(jnp.max(jnp.diagonal(H)), 1.0)
+            dx = jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(
+                    H + lam * scale * jnp.eye(n_par, dtype=H.dtype)),
+                -g,
+            ).reshape(x0.shape)
+            x_new = x + dx
+            better = jnp.sum(residuals(x_new) ** 2) < jnp.sum(r * r)
+            x = jnp.where(better, x_new, x)
+            lam = jnp.where(better, jnp.maximum(lam * 0.3, 1e-9),
+                            jnp.minimum(lam * 10.0, 1e3))
+            return x, lam
+
+        run = jax.jit(lambda x_init: jax.lax.fori_loop(
+            0, n_iter, body, (x_init, jnp.asarray(1e-4, dt))))
+        x, _ = run(x0)
+        return x
+
+    # ---- stage 1: rotation averaging (LM over SO(3)^N) ----------------------
+    from eacham_tpu.geometry.se3 import _so3_exp
+
+    def rot_residuals(w):                            # [N, 3]
+        w = jnp.where(free[:, None], w, 0.0)
+        R = _so3_exp(w)[0] @ R0
+        R_rel = R[jj] @ jnp.swapaxes(R[ii], -1, -2)
+        r = _log_so3(jnp.swapaxes(R_meas, -1, -2) @ R_rel) / rot_sigma
+        return (r * sw[:, None]).reshape(-1)
+
+    w_opt = _lm(rot_residuals, jnp.zeros((N, 3), dt), iters)
+    w_opt = jnp.where(free[:, None], w_opt, 0.0)
+    R_new = _so3_exp(w_opt)[0] @ R0
+
+    # ---- stage 2: camera centers from translation directions (LINEAR) -------
+    # t_rel = R_j (c_i - c_j), so each edge constrains the center difference
+    # to the known direction d = R_j^T t_meas: minimize
+    # sum w || (I - d d^T)(c_i - c_j) ||^2 — convex, one dense 3N solve.
+    # formed AND solved on the HOST in float64: the direction system is
+    # parallel-rigid but its soft bending modes sit ~1e-6 below the matrix
+    # norm — fp32 rounding in the projectors alone (1e-7) perturbs those
+    # modes into the gauge nullspace and the drift survives in exactly
+    # those modes. One 3Nx3N float64 solve per reconstruction is host-trivial.
+    iin = np.asarray(ii)
+    jjn = np.asarray(jj)
+    R64 = np.asarray(R_new, np.float64)
+    t64 = np.asarray(t_meas, np.float64)
+    t64 /= np.maximum(np.linalg.norm(t64, axis=-1, keepdims=True), 1e-12)
+    dn = np.einsum("pji,pj->pi", R64[jjn], t64)           # R_j^T t_meas
+    w2 = np.asarray(sw, np.float64) ** 2
+    centers = lambda T: -jnp.einsum("nij,ni->nj", T[:, :3, :3], T[:, :3, 3])
+    c0 = centers(poses)
+    c0n = np.asarray(c0, np.float64)
+
+    # Direction-only constraints leave near-zero bending modes that even
+    # 1e-7 rotation noise excites; trusting drifted magnitudes instead
+    # just reproduces the drift. The linear Sim3-style middle ground:
+    # per-camera scale variables sigma_i, with short-range edges
+    # constraining (c_i - c_j) = sigma_i * m_e * d_e (m_e = current
+    # baseline, d_e = measured direction) — locally rigid SHAPE, smoothly
+    # re-scalable along the trajectory — and long-range (loop) edges
+    # contributing direction-only projector terms that pin global shape
+    # and, through them, the sigma field. Jointly LINEAR in (c, sigma):
+    # one (3N+N) float64 solve.
+    span = np.abs(jjn - iin)
+    local = span <= 15
+    m_e = np.linalg.norm(c0n[iin] - c0n[jjn], axis=-1)
+    eye3 = np.eye(3)
+    n_var = 3 * N + N
+    H = np.zeros((n_var, n_var))
+    b = np.zeros(n_var)
+
+    def c_sl(n):
+        return slice(3 * n, 3 * n + 3)
+
+    # local edges: residual r = (c_i - c_j) - sigma_i m_e d_e, weight w2
+    li = iin[local]
+    lj = jjn[local]
+    lw = w2[local]
+    lv = (m_e[local][:, None] * dn[local])            # [El, 3]
+    for e in range(li.shape[0]):
+        i, j, w_, v = li[e], lj[e], lw[e], lv[e]
+        si = 3 * N + i
+        H[c_sl(i), c_sl(i)] += w_ * eye3
+        H[c_sl(j), c_sl(j)] += w_ * eye3
+        H[c_sl(i), c_sl(j)] -= w_ * eye3
+        H[c_sl(j), c_sl(i)] -= w_ * eye3
+        H[c_sl(i), si] -= w_ * v
+        H[si, c_sl(i)] -= w_ * v
+        H[c_sl(j), si] += w_ * v
+        H[si, c_sl(j)] += w_ * v
+        H[si, si] += w_ * v @ v
+    # loop edges: direction-only projector on (c_i - c_j)
+    Pproj = eye3[None] - dn[:, :, None] * dn[:, None, :]
+    gi = iin[~local]
+    gj = jjn[~local]
+    gP = Pproj[~local] * w2[~local][:, None, None]
+    for e in range(gi.shape[0]):
+        i, j, W_ = gi[e], gj[e], gP[e]
+        H[c_sl(i), c_sl(i)] += W_
+        H[c_sl(j), c_sl(j)] += W_
+        H[c_sl(i), c_sl(j)] -= W_
+        H[c_sl(j), c_sl(i)] -= W_
+    # priors: anchor fixed/invalid centers hard, free weakly; sigma -> 1
+    # (hard on the anchor, weak everywhere to bound unobserved scales)
+    freen = np.asarray(free)
+    prior_c = np.where(freen, 1e-8, 1e3)
+    for n in range(N):
+        H[c_sl(n), c_sl(n)] += prior_c[n] * eye3
+        b[c_sl(n)] += prior_c[n] * c0n[n]
+    prior_s = np.where(freen, 1e-6, 1e3)
+    idx_s = 3 * N + np.arange(N)
+    H[idx_s, idx_s] += prior_s
+    b[idx_s] += prior_s * 1.0
+    sol = np.linalg.solve(H, b)
+    c_new = jnp.asarray(sol[:3 * N].reshape(N, 3), dt)
+
+    # restore the original map scale about the anchor camera
+    anchor = jnp.argmax(pose_fixed & pose_valid)
+    d0 = jnp.where(pose_valid, jnp.linalg.norm(c0 - c0[anchor], axis=-1), 0.0)
+    d1 = jnp.where(pose_valid,
+                   jnp.linalg.norm(c_new - c_new[anchor], axis=-1), 0.0)
+    s = jnp.sum(d0 * d1) / jnp.maximum(jnp.sum(d1 * d1), 1e-9)
+    c_new = c_new[anchor] + s * (c_new - c_new[anchor])
+    c_new = jnp.where(free[:, None], c_new, c0)
+
+    # (no joint fp32 polish: after the exact two-stage solve it can only
+    # wander within the soft bending modes fp32 cannot resolve)
+    c_new = jnp.where(free[:, None], c_new, c0)
+    T_out = jnp.zeros_like(poses)
+    T_out = T_out.at[:, :3, :3].set(R_new)
+    T_out = T_out.at[:, :3, 3].set(-jnp.einsum("nij,nj->ni", R_new, c_new))
+    T_out = T_out.at[:, 3, 3].set(1.0)
+    return jnp.where(pose_valid[:, None, None], T_out, poses)
+
+
+def rebuild_map(
+    scene: Scene,
+    pid_tbl: jnp.ndarray,
+    max_repr_error: float,
+    min_tri_angle: float,
+    max_observers: int = 12,
+    segment: int = 128,
+):
+    """Wipe the landmark table and re-run the merge/triangulation pass for
+    every registered frame under the (pose-graph-corrected) poses.
+
+    Links that drift previously forced apart — in particular every loop
+    closure — now pass the reprojection gates and connect into long
+    tracks, giving the final global BA its long-range constraints.
+    """
+    N, K = scene.kp_mask.shape
+    scene = scene._replace(
+        kp2lm=jnp.full((N, K), -1, jnp.int32),
+        lm_valid=jnp.zeros_like(scene.lm_valid),
+        lm_two_view=jnp.zeros_like(scene.lm_two_view),
+        points=jnp.zeros_like(scene.points),
+        n_landmarks=jnp.zeros_like(scene.n_landmarks),
+    )
+
+    @partial(jax.jit, static_argnames=("max_observers",))
+    def span(scene, lo, hi, max_observers):
+        def body(f, s):
+            fi = jnp.int32(f)
+            s, _, _ = triangulate_frame(
+                s, fi, pid_tbl[f], jnp.int32(2), max_repr_error,
+                min_tri_angle, max_observers=max_observers,
+            )
+            return s
+
+        return jax.lax.fori_loop(lo, hi, body, scene)
+
+    for lo in range(0, N, segment):
+        scene = span(scene, jnp.int32(lo), jnp.int32(min(lo + segment, N)),
+                     max_observers=max_observers)
+    return scene
