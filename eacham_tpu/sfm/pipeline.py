@@ -485,6 +485,15 @@ def run_sfm(
                 scene.keypoints, pair_idx, pair_ok, m_ij, v_ij,
                 scene.intr, k_pg, px_threshold=opt.max_repr_error,
             )
+            import os as _os
+            dump = _os.environ.get("EACHAM_PGO_DUMP")
+            if dump:
+                np.savez(dump, pose_before=np.asarray(scene.pose),
+                         pose_valid=np.asarray(scene.pose_valid),
+                         pose_fixed=np.asarray(scene.pose_fixed),
+                         pair_idx=np.asarray(pair_idx),
+                         T_meas=np.asarray(T_meas),
+                         w_meas=np.asarray(w_meas))
             scene = scene._replace(pose=optimize_pose_graph(
                 scene.pose, scene.pose_valid, scene.pose_fixed,
                 pair_idx, T_meas, w_meas, iters=opt.pgo_iters,

@@ -227,6 +227,20 @@ def optimize_pose_graph(
     span = np.abs(jjn - iin)
     local = span <= 15
     m_e = np.linalg.norm(c0n[iin] - c0n[jjn], axis=-1)
+    # Local edges do NOT use the E-measured direction (at video baselines
+    # it is ~10 deg noise, measured on the N=500 stress): the current
+    # reconstruction's camera-frame displacement R_old_j (c_i - c_j) is
+    # what the windowed BA got RIGHT locally, so constrain to that vector
+    # re-expressed through the CORRECTED rotation — the averaged-rotation
+    # heading fix thereby integrates into the positions, which is where
+    # most of the drift comes from. Loop edges keep the measured
+    # directions (their information is irreplaceable), weakly weighted.
+    R_old64 = np.asarray(poses[:, :3, :3], np.float64)
+    u_cam = np.einsum("pij,pj->pi", R_old64[jjn], c0n[iin] - c0n[jjn])
+    d_local = np.einsum("pji,pj->pi", R64[jjn], u_cam)
+    d_local /= np.maximum(np.linalg.norm(d_local, axis=-1, keepdims=True),
+                          1e-12)
+    dn = np.where(local[:, None], d_local, dn)
     eye3 = np.eye(3)
     n_var = 3 * N + N
     H = np.zeros((n_var, n_var))
@@ -235,10 +249,27 @@ def optimize_pose_graph(
     def c_sl(n):
         return slice(3 * n, 3 * n + 3)
 
-    # local edges: residual r = (c_i - c_j) - sigma_i m_e d_e, weight w2
+    # Per-constraint noise models, NOT raw inlier counts: local full-vector
+    # constraints are tight (~2% of their baseline — the window BA keeps
+    # local geometry consistent), while essential-matrix translation
+    # DIRECTIONS at video baselines are noisy (~0.2 rad median observed on
+    # the N=500 stress). Equal weighting lets the noisy directions drag
+    # the solution (measured: PGO made ATE worse); 1/sigma^2 weighting
+    # lets them bend only the low-frequency modes where the local
+    # constraints are soft.
+    m_med = max(np.median(m_e[local]) if local.any() else 1.0, 1e-6)
+    # floor the per-edge sigmas at a healthy fraction of the median
+    # baseline: near-zero-baseline edges otherwise get ~1e9 weights that
+    # dominate every scale in the system (including the "weak" priors)
+    sig_local = 0.02 * np.maximum(m_e, 0.1 * m_med)
+    sig_dir = 0.25 * np.maximum(m_e, m_med)
+    w_local = (w2 > 0) / (sig_local ** 2)
+    w_dir = (w2 > 0) / (sig_dir ** 2)
+
+    # local edges: residual r = (c_i - c_j) - sigma_i m_e d_e
     li = iin[local]
     lj = jjn[local]
-    lw = w2[local]
+    lw = w_local[local]
     lv = (m_e[local][:, None] * dn[local])            # [El, 3]
     for e in range(li.shape[0]):
         i, j, w_, v = li[e], lj[e], lw[e], lv[e]
@@ -256,7 +287,7 @@ def optimize_pose_graph(
     Pproj = eye3[None] - dn[:, :, None] * dn[:, None, :]
     gi = iin[~local]
     gj = jjn[~local]
-    gP = Pproj[~local] * w2[~local][:, None, None]
+    gP = Pproj[~local] * w_dir[~local][:, None, None]
     for e in range(gi.shape[0]):
         i, j, W_ = gi[e], gj[e], gP[e]
         H[c_sl(i), c_sl(i)] += W_
@@ -266,11 +297,13 @@ def optimize_pose_graph(
     # priors: anchor fixed/invalid centers hard, free weakly; sigma -> 1
     # (hard on the anchor, weak everywhere to bound unobserved scales)
     freen = np.asarray(free)
-    prior_c = np.where(freen, 1e-8, 1e3)
+    wmax = max(np.median(w_local[local & (w2 > 0)])
+               if (local & (w2 > 0)).any() else 1.0, 1.0)
+    prior_c = np.where(freen, 1e-8 * wmax, 1e3 * wmax)
     for n in range(N):
         H[c_sl(n), c_sl(n)] += prior_c[n] * eye3
         b[c_sl(n)] += prior_c[n] * c0n[n]
-    prior_s = np.where(freen, 1e-6, 1e3)
+    prior_s = np.where(freen, 1e-6 * wmax, 1e3 * wmax)
     idx_s = 3 * N + np.arange(N)
     H[idx_s, idx_s] += prior_s
     b[idx_s] += prior_s * 1.0

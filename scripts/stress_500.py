@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--height", type=int, default=384)
     ap.add_argument("--kps", type=int, default=512)
+    ap.add_argument("--interim", type=int, default=10)
+    ap.add_argument("--loop-close", type=int, default=1)
     args = ap.parse_args()
 
     from eacham_tpu.utils.cache import enable_compilation_cache
@@ -90,7 +92,8 @@ def main():
         init_min_tri_angle_deg=0.8, min_tri_angle_deg=0.8,
         ransac_hyps_e=256, ransac_hyps_h=128, ransac_hyps_pnp=256,
         lm_capacity=65536, refine_max_iters=30, global_max_iters=40,
-        match_chunk=32,
+        match_chunk=32, interim_ba_iters=args.interim,
+        loop_close=bool(args.loop_close),
     )
 
     t0 = time.perf_counter()
