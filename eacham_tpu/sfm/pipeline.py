@@ -477,13 +477,28 @@ def run_sfm(
 
         if opt.loop_close and opt.pair_window > 0 and n_far > 0:
             from eacham_tpu.sfm.posegraph import (
-                edge_measurements, optimize_pose_graph, rebuild_map,
+                edge_measurements, loop_consistency, loop_pnp_measurements,
+                optimize_pose_graph, rebuild_map,
             )
 
             key, k_pg = jax.random.split(key)
             T_meas, w_meas = edge_measurements(
                 scene.keypoints, pair_idx, pair_ok, m_ij, v_ij,
                 scene.intr, k_pg, px_threshold=opt.max_repr_error,
+            )
+            # metric loop measurements: PnP of the revisiting frame against
+            # the loop start's local map (scale-correct, ~reprojection-noise
+            # accurate — E-directions at these baselines are ~10 deg noise)
+            loop_rows_np = np.where(ok_np & (span > max(N // 4, 30)))[0]
+            pad_l = (-len(loop_rows_np)) % 8
+            loop_rows = jnp.asarray(np.concatenate(
+                [loop_rows_np, np.full(pad_l, -1)]).astype(np.int32))
+            key, k_lp = jax.random.split(key)
+            T_loop, w_loop = loop_pnp_measurements(
+                scene.pose, scene.points, scene.lm_valid, scene.kp2lm,
+                scene.keypoints, pair_idx, m_ij, v_ij, scene.intr,
+                loop_rows, k_lp, px_threshold=opt.max_repr_error,
+                n_hyp=opt.ransac_hyps_pnp,
             )
             import os as _os
             dump = _os.environ.get("EACHAM_PGO_DUMP")
@@ -493,18 +508,39 @@ def run_sfm(
                          pose_fixed=np.asarray(scene.pose_fixed),
                          pair_idx=np.asarray(pair_idx),
                          T_meas=np.asarray(T_meas),
-                         w_meas=np.asarray(w_meas))
-            scene = scene._replace(pose=optimize_pose_graph(
+                         w_meas=np.asarray(w_meas),
+                         loop_rows=np.asarray(loop_rows),
+                         T_loop=np.asarray(T_loop),
+                         w_loop=np.asarray(w_loop),
+                         points=np.asarray(scene.points),
+                         lm_valid=np.asarray(scene.lm_valid),
+                         kp2lm=np.asarray(scene.kp2lm),
+                         keypoints=np.asarray(scene.keypoints),
+                         loop_match=np.asarray(m_ij[loop_rows_np]),
+                         loop_vmask=np.asarray(v_ij[loop_rows_np]),
+                         intr=np.asarray(scene.intr))
+            pose_pg = optimize_pose_graph(
                 scene.pose, scene.pose_valid, scene.pose_fixed,
                 pair_idx, T_meas, w_meas, iters=opt.pgo_iters,
-            ))
-            scene = rebuild_map(
-                scene, pid_tbl, opt.max_repr_error, opt.min_tri_angle,
-                max_observers=opt.max_observers,
-                segment=opt.sweep_segment or 128,
+                loop_rows=loop_rows, T_loop=T_loop, w_loop=w_loop,
             )
-            log(f"pose graph: {n_far} loop edges closed, map rebuilt "
-                f"({int(jnp.sum(scene.lm_valid))} landmarks)")
+            err0 = loop_consistency(scene.pose, pair_idx, loop_rows,
+                                    T_loop, w_loop)
+            err1 = loop_consistency(pose_pg, pair_idx, loop_rows,
+                                    T_loop, w_loop)
+            if np.isfinite(err1) and err1 < err0:
+                scene = scene._replace(pose=pose_pg)
+                scene = rebuild_map(
+                    scene, pid_tbl, opt.max_repr_error, opt.min_tri_angle,
+                    max_observers=opt.max_observers,
+                    segment=opt.sweep_segment or 128,
+                )
+                log(f"pose graph: {n_far} loop edges closed "
+                    f"(consistency {err0:.2f} -> {err1:.2f} deg), map "
+                    f"rebuilt ({int(jnp.sum(scene.lm_valid))} landmarks)")
+            else:
+                log(f"pose graph: correction rejected (loop consistency "
+                    f"{err0:.2f} -> {err1:.2f} deg), keeping sweep poses")
 
         return _finalize(scene, excluded, opt, global_cfg, i0, j0, N, log,
                          mesh=mesh)

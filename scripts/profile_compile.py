@@ -74,8 +74,10 @@ def main():
 
     key = jax.random.PRNGKey(0)
     rows = jnp.zeros((8,), jnp.int32)
+    keys = jax.vmap(lambda r: jax.random.fold_in(key, r))(rows)
     clock("two-view eval chunk (compile)", lambda: _eval_pairs.lower(
-        key, scene, rows, 4.0, np.deg2rad(1.0), n_hyp_e=256, n_hyp_h=128,
+        keys, rows, kps, m_ij, v_ij, pair_idx, intr,
+        4.0, np.deg2rad(1.0), n_hyp_e=256, n_hyp_h=128,
     ).compile())
 
     opt = SfmOptions()

@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--kps", type=int, default=512)
     ap.add_argument("--interim", type=int, default=10)
     ap.add_argument("--loop-close", type=int, default=1)
+    ap.add_argument("--cache", default="/tmp/stress500_feat.npz",
+                    help="feature cache (skips render+extract on reruns)")
     args = ap.parse_args()
 
     from eacham_tpu.utils.cache import enable_compilation_cache
@@ -45,15 +47,22 @@ def main():
     intr = np.array([f, f, W / 2, H / 2], np.float32)
     rng = np.random.default_rng(0)
 
+    from pathlib import Path
+    cache = Path(args.cache) if args.cache else None
+    cached = None
+    if cache is not None and cache.exists():
+        d = np.load(cache)
+        if (int(d["n"]) == N and int(d["w"]) == W and int(d["h"]) == H
+                and int(d["kps"]) == args.kps):
+            cached = d
+            print(f"features from cache {cache}", flush=True)
+
     # long slow orbit: the camera advances along a circle around a large
     # blob field; consecutive frames overlap heavily, distant ones don't
     # 2200 blobs at 512x384: dense enough for 512 keypoints/frame but
     # distinctive enough that descriptor matches stay unambiguous
     # (4000 blobs at 384x288 was visual clutter: false matches stitched
     # different blobs into one track and the map drifted, ATE ~1)
-    scene_blobs = make_blob_scene(rng, n_blobs=2200, depth=(4.0, 14.0),
-                                  spread=7.0)
-    t0 = time.perf_counter()
     # look-at orbit around the blob-field center: every frame faces the
     # structure (no walk-off at 500 frames); the orbit overshoots 360 deg
     # so the tail revisits the start and the retrieval candidates close
@@ -80,11 +89,15 @@ def main():
         T[:3, 3] = -R @ cam
         poses.append(T)
     poses = np.stack(poses)
-    images = np.stack([
-        render_view(scene_blobs, T, intr, W, H) for T in poses
-    ])
-    print(f"rendered {N} frames {W}x{H} in {time.perf_counter() - t0:.0f}s",
-          flush=True)
+    if cached is None:
+        t0 = time.perf_counter()
+        scene_blobs = make_blob_scene(rng, n_blobs=2200, depth=(4.0, 14.0),
+                                      spread=7.0)
+        images = np.stack([
+            render_view(scene_blobs, T, intr, W, H) for T in poses
+        ])
+        print(f"rendered {N} frames {W}x{H} in "
+              f"{time.perf_counter() - t0:.0f}s", flush=True)
 
     opts = SfmOptions(
         pair_window=10, pair_retrieval_k=3,
@@ -96,12 +109,22 @@ def main():
         loop_close=bool(args.loop_close),
     )
 
-    t0 = time.perf_counter()
-    xy, desc, score, mask = extract_features(
-        jnp.asarray(images), max_keypoints=args.kps)
-    np.asarray(xy)
-    t_extract = time.perf_counter() - t0
-    print(f"extract: {t_extract:.1f}s", flush=True)
+    if cached is None:
+        t0 = time.perf_counter()
+        xy, desc, score, mask = extract_features(
+            jnp.asarray(images), max_keypoints=args.kps)
+        np.asarray(xy)
+        t_extract = time.perf_counter() - t0
+        print(f"extract: {t_extract:.1f}s", flush=True)
+        if cache is not None:
+            np.savez(cache, xy=np.asarray(xy), desc=np.asarray(desc),
+                     mask=np.asarray(mask), n=N, w=W, h=H, kps=args.kps,
+                     t_extract=t_extract)
+    else:
+        xy = jnp.asarray(cached["xy"])
+        desc = jnp.asarray(cached["desc"])
+        mask = jnp.asarray(cached["mask"])
+        t_extract = float(cached["t_extract"])
 
     t0 = time.perf_counter()
     scene, stats = run_sfm(

@@ -126,3 +126,110 @@ def test_pgo_ignores_invalid_and_weak_edges():
     assert np.abs(out[valid] - gt[valid]).max() < 1e-3
     # invalid poses pass through untouched
     assert np.allclose(out[5], gt[5])
+
+
+def _loop_pnp_setup(drift_scale=1.0):
+    """Scene where frame j revisits frame i's neighborhood: frame i's
+    local map is built in ITS drifted frame (locally consistent), frame
+    j observes the same structure with exact pixels."""
+    from eacham_tpu.geometry.camera import project
+    from eacham_tpu.geometry.se3 import transform_points
+
+    N, L, K = 12, 96, 96
+    gt = _orbit_poses(N)
+    rng = np.random.default_rng(3)
+    # world structure: cloud around the orbit center, in front of all cams
+    X_gt = (np.array([0.0, 0.0, 9.0]) +
+            rng.uniform(-3, 3, size=(L, 3))).astype(np.float32)
+    intr = jnp.asarray([400.0, 400.0, 320.0, 240.0], jnp.float32)
+
+    # smooth drift, zero at frame 0, large at the end
+    ramp = (np.arange(N, dtype=np.float32) / N) ** 2 * drift_scale
+    d6 = rng.normal(size=6).astype(np.float32)
+    d6 *= np.array([0.1] * 3 + [1.0] * 3, np.float32) / np.linalg.norm(d6)
+    drift = ramp[:, None] * d6[None, :]
+    noisy = np.asarray(jax.vmap(exp_se3)(jnp.asarray(drift))) @ gt
+
+    # exact pixel observations of the GT structure
+    kps = np.zeros((N, K, 2), np.float32)
+    for n in range(N):
+        uv, _ = project(jnp.asarray(gt[n]), jnp.asarray(X_gt), intr)
+        kps[n] = np.asarray(uv)
+
+    i, j = 0, N - 1                       # loop pair: j revisits i
+    # frame i's local map: GT structure re-expressed so that projecting it
+    # through the DRIFTED pose i reproduces frame i's pixels
+    Ti_fix = np.asarray(inverse_se3(jnp.asarray(noisy[i]))) @ gt[i]
+    X_map = np.asarray(transform_points(jnp.asarray(Ti_fix),
+                                        jnp.asarray(X_gt)))
+
+    pairs = np.asarray([(n, n + 1) for n in range(N - 1)] + [(i, j)],
+                       np.int32)
+    P = len(pairs)
+    match = np.tile(np.arange(K, dtype=np.int32), (P, 1))
+    vmask = np.ones((P, K), bool)
+    kp2lm = np.full((N, K), -1, np.int32)
+    kp2lm[i] = np.arange(L)
+    return (gt, noisy, X_map, kps, intr, pairs, match, vmask, kp2lm, P, i, j)
+
+
+def test_loop_pnp_measurement_recovers_metric_relative():
+    from eacham_tpu.sfm.posegraph import loop_pnp_measurements
+
+    (gt, noisy, X_map, kps, intr, pairs, match, vmask, kp2lm,
+     P, i, j) = _loop_pnp_setup()
+    loop_rows = jnp.asarray([P - 1, -1], jnp.int32)      # incl. a pad row
+    T_loop, w_loop = loop_pnp_measurements(
+        jnp.asarray(noisy), jnp.asarray(X_map),
+        jnp.ones(X_map.shape[0], bool), jnp.asarray(kp2lm),
+        jnp.asarray(kps), jnp.asarray(pairs), jnp.asarray(match),
+        jnp.asarray(vmask), intr, loop_rows, jax.random.PRNGKey(0),
+    )
+    T_loop = np.asarray(T_loop)
+    w_loop = np.asarray(w_loop)
+    assert w_loop[1] == 0.0                              # pad row off
+    assert w_loop[0] >= 48, w_loop                       # most points inliers
+    rel_gt = gt[j] @ np.linalg.inv(gt[i])
+    # full metric SE(3), scale included (the local map carries GT scale)
+    assert np.abs(T_loop[0] - rel_gt).max() < 5e-2, (
+        np.abs(T_loop[0] - rel_gt).max())
+
+
+def test_pgo_with_pnp_loop_edges_and_gate():
+    from eacham_tpu.sfm.posegraph import (
+        loop_consistency, loop_pnp_measurements, optimize_pose_graph)
+
+    (gt, noisy, X_map, kps, intr, pairs, match, vmask, kp2lm,
+     P, i, j) = _loop_pnp_setup()
+    N = gt.shape[0]
+    loop_rows = jnp.asarray([P - 1], jnp.int32)
+    T_loop, w_loop = loop_pnp_measurements(
+        jnp.asarray(noisy), jnp.asarray(X_map),
+        jnp.ones(X_map.shape[0], bool), jnp.asarray(kp2lm),
+        jnp.asarray(kps), jnp.asarray(pairs), jnp.asarray(match),
+        jnp.asarray(vmask), intr, loop_rows, jax.random.PRNGKey(0),
+    )
+    T_meas = _edges_from_gt(gt, pairs)
+    w = np.full(P, 100.0, np.float32)
+    valid = np.ones(N, bool)
+    fixed = np.zeros(N, bool)
+    fixed[0] = True
+    out = np.asarray(optimize_pose_graph(
+        jnp.asarray(noisy), jnp.asarray(valid), jnp.asarray(fixed),
+        jnp.asarray(pairs), jnp.asarray(T_meas), jnp.asarray(w), iters=10,
+        loop_rows=loop_rows, T_loop=T_loop, w_loop=w_loop,
+    ))
+    # the consistency gate's metric must improve through the correction
+    e_before = loop_consistency(jnp.asarray(noisy), jnp.asarray(pairs),
+                                loop_rows, T_loop, w_loop)
+    e_after = loop_consistency(jnp.asarray(out), jnp.asarray(pairs),
+                               loop_rows, T_loop, w_loop)
+    assert e_after < e_before, (e_before, e_after)
+    # and the trajectory actually improves toward GT
+    err_b = np.abs(_centers(noisy) - _centers(gt)).max()
+    err_a = np.abs(_centers(out) - _centers(gt)).max()
+    assert err_a < 0.5 * err_b, (err_b, err_a)
+    # no loop edge above the weight gate -> inf (gate rejects)
+    e_none = loop_consistency(jnp.asarray(noisy), jnp.asarray(pairs),
+                              loop_rows, T_loop, jnp.zeros_like(w_loop))
+    assert np.isinf(e_none)
