@@ -50,6 +50,42 @@ def _sep_blur(img: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
     return x[0, 0]
 
 
+def _band_matrix(taps: np.ndarray, n: int) -> np.ndarray:
+    """[n, n] banded blur operator: B[j, i] = taps[j - i + r] (zero-padded
+    at the borders, exactly conv SAME semantics)."""
+    r = (len(taps) - 1) // 2
+    j = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    d = j - i + r
+    ok = (d >= 0) & (d < len(taps))
+    return np.where(ok, np.asarray(taps, np.float32)[np.clip(d, 0,
+                    len(taps) - 1)], 0.0).astype(np.float32)
+
+
+def _blur_stack_mm(img: jnp.ndarray, sigmas) -> jnp.ndarray:
+    """All blur levels of one image as two batched matmuls.
+
+    A 1-channel conv leaves the MXU idle (the systolic array contracts
+    over channels x taps, here 1 x ~33); expressing the separable blur as
+    banded [n, n] operators turns the whole pyramid level stack into two
+    einsums the MXU executes in microseconds. ~70x more FLOPs than the
+    conv, ~15x less wall time at 512x384 on v5e (see profile_extract).
+    """
+    h, w = img.shape
+    Bh = jnp.asarray(np.stack([_band_matrix(_gauss_kernel(s), h)
+                               for s in sigmas]))      # [S, h, h]
+    Bw = jnp.asarray(np.stack([_band_matrix(_gauss_kernel(s), w)
+                               for s in sigmas]))      # [S, w, w]
+    # vertical: out[s, y, w] = sum_j Bh[s, j, y] img[j, w]
+    gy = jnp.einsum("sjy,jw->syw", Bh, img)
+    # horizontal: out[s, y, i] = sum_j gy[s, y, j] Bw[s, j, i]
+    return jnp.einsum("syj,sji->syi", gy, Bw)
+
+
+def _pyramid_use_matmul() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
 def build_scale_space(img: jnp.ndarray):
     """[H, W] grayscale (0..1) -> gaussians [S, H, W], dogs [S-1, H, W].
 
@@ -57,13 +93,15 @@ def build_scale_space(img: jnp.ndarray):
     sigma-delta cascade: composing 3-sigma-truncated kernels measurably
     shifts the DoG values, and a marginal-parallax init that passes with
     direct kernels fails with the cascade — the ~1.35x tap saving is not
-    worth the accuracy risk).
+    worth the accuracy risk). On accelerators the levels are built by
+    banded matmuls (see _blur_stack_mm); on CPU by separable convs —
+    identical math, SAME zero padding both ways.
     """
-    levels = []
-    for i in range(N_SCALES):
-        sigma = SIGMA0 * (STEP ** i)
-        levels.append(_sep_blur(img, _gauss_kernel(sigma)))
-    g = jnp.stack(levels)
+    sigmas = [SIGMA0 * (STEP ** i) for i in range(N_SCALES)]
+    if _pyramid_use_matmul():
+        g = _blur_stack_mm(img, sigmas)
+    else:
+        g = jnp.stack([_sep_blur(img, _gauss_kernel(s)) for s in sigmas])
     dog = g[1:] - g[:-1]
     return g, dog
 

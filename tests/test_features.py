@@ -122,3 +122,20 @@ def test_scale_invariant_matching(rng):
     uv2 = np.asarray(xy[1])[np.asarray(mj)[v]]
     err = np.linalg.norm(uv2 - 2.0 * uv1, axis=-1)
     assert np.median(err) < 4.0, np.median(err)
+
+
+def test_blur_stack_matmul_matches_conv():
+    """The banded-matmul pyramid (accelerator path) must match the
+    separable-conv path to float rounding — same SAME-zero padding."""
+    import numpy as np
+    import jax.numpy as jnp
+    from eacham_tpu.features.detector import (
+        N_SCALES, SIGMA0, STEP, _blur_stack_mm, _gauss_kernel, _sep_blur,
+    )
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((96, 128)).astype(np.float32))
+    sigmas = [SIGMA0 * STEP ** i for i in range(N_SCALES)]
+    ref = jnp.stack([_sep_blur(img, _gauss_kernel(s)) for s in sigmas])
+    mm = _blur_stack_mm(img, sigmas)
+    assert np.abs(np.asarray(ref) - np.asarray(mm)).max() < 2e-6
