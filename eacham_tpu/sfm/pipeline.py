@@ -32,7 +32,9 @@ from eacham_tpu.geometry.camera import intrinsics_from_image_size
 from eacham_tpu.geometry.pnp import solve_pnp_ransac
 from eacham_tpu.sfm.matches import build_match_tables, observers_of_frame
 from eacham_tpu.sfm.scene import (
-    Scene, make_scene, pair_id_table, ba_problem_from_scene, alloc_landmarks,
+    Scene, make_scene, pair_id_table, ba_problem_counts,
+    ba_problem_windowed, scatter_window_poses, scatter_window_points,
+    alloc_landmarks,
 )
 from eacham_tpu.sfm.triangulate import triangulate_frame
 from eacham_tpu.sfm.twoview import find_best_pair
@@ -72,7 +74,7 @@ class SfmOptions:
     # per-frame local BA runs inside the device sweep; it does not need to
     # converge fully (global BA finishes the job), so its budget is capped
     # separately — the dominant knob for registration throughput
-    local_ba_max_iters: int = 8
+    local_ba_max_iters: int = 5
     local_ba_tolerance: float = 3e-4
     local_ba_max_cams: int = 16
     local_ba_max_obs: int = 16384
@@ -282,21 +284,52 @@ def seed_initial_pair(scene: Scene, pair_row, T2, points, point_ok):
     return scene._replace(kp2lm=flat[:-1].reshape(N, K))
 
 
+def _bucket(n: int, cap: int, floor: int = 1024) -> int:
+    """Smallest size of the form 2^k or 3*2^k that fits ``n`` (capped).
+
+    Compact BA axes are data-dependent; bucketing keeps the set of
+    compiled programs small while bounding padding waste at 33%.
+    """
+    if n >= cap:
+        return cap
+    b = floor
+    while b < n:
+        b = b * 3 // 2 if (b & (b - 1)) == 0 else b * 4 // 3
+    return min(b, cap)
+
+
 def _ba(scene: Scene, cam_in_ba, cfg: BAConfig, min_landmarks: int,
         mesh=None):
     """Build the BA problem, skip if too small (BundleAdjuster.cpp:166-169),
     run LM, write back. With ``mesh``, the observation axis is sharded and
-    the reduced camera system is psum-assembled (parallel/ba.py)."""
-    prob = ba_problem_from_scene(scene, cam_in_ba)
-    if int(jnp.sum(prob.pt_in_ba)) < min_landmarks:
+    the reduced camera system is psum-assembled (parallel/ba.py).
+
+    The problem axes are compacted to bucketed sizes chosen from two
+    host-fetched scalars: the padded alternative (N*K observations,
+    lm_capacity landmarks) makes every LM iteration pay for the scene's
+    CAPACITY instead of its contents — typically 2-4x more. All call
+    sites pass ``cam_in_ba ⊆ pose_valid`` covering every registered
+    camera, so windowing drops no observations.
+    """
+    N, K = scene.kp_mask.shape
+    n_obs, n_lms = ba_problem_counts(scene, cam_in_ba)
+    n_obs, n_lms = int(n_obs), int(n_lms)
+    if n_lms < min_landmarks:
         return scene, None
+    prob, cam_list, cam_on, lm_list, lm_on = ba_problem_windowed(
+        scene, cam_in_ba, max_cams=N,
+        max_obs=_bucket(n_obs, N * K),
+        max_lms=_bucket(n_lms, scene.lm_capacity),
+    )
     if mesh is not None:
         from eacham_tpu.parallel.ba import refine_ba_sharded
 
         poses, points, intr, info = refine_ba_sharded(prob, cfg, mesh)
     else:
         poses, points, intr, info = refine_ba(prob, cfg)
-    return scene._replace(pose=poses, points=points, intr=intr), info
+    scene = scatter_window_poses(scene, cam_list, cam_on, poses)
+    scene = scatter_window_points(scene, lm_list, lm_on, points)
+    return scene._replace(intr=intr), info
 
 
 @jax.jit
@@ -468,7 +501,11 @@ def run_sfm(
             n_hyp_pnp=opt.ransac_hyps_pnp,
             pnp_pair_only=opt.pnp_pair_only,
             ba_max_cams=opt.local_ba_max_cams,
-            ba_max_obs=min(opt.local_ba_max_obs, N * keypoints.shape[1]),
+            # a window of C cams with K keypoints each can hold at most C*K
+            # observations — the budget beyond that bound is pure padding,
+            # and the local-BA cost is linear in it (obs AND landmark axes)
+            ba_max_obs=min(opt.local_ba_max_obs,
+                           min(opt.local_ba_max_cams, N) * keypoints.shape[1]),
             segment=opt.sweep_segment,
             on_segment=on_segment,
         )
@@ -647,7 +684,9 @@ def resume_sfm(
         n_hyp_pnp=opt.ransac_hyps_pnp,
         pnp_pair_only=opt.pnp_pair_only,
         ba_max_cams=opt.local_ba_max_cams,
-        ba_max_obs=min(opt.local_ba_max_obs, N * scene.kp_mask.shape[1]),
+        ba_max_obs=min(opt.local_ba_max_obs,
+                       min(opt.local_ba_max_cams, N)
+                       * scene.kp_mask.shape[1]),
         segment=opt.sweep_segment,
     )
     log(f"resume sweep: +{int(n_reg)} frames registered")

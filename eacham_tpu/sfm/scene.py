@@ -22,6 +22,7 @@ arrays are just reshapes of ``kp2lm`` — no compaction pass.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import numpy as np
@@ -179,6 +180,24 @@ def ba_problem_from_scene(
     )
 
 
+@partial(jax.jit, static_argnames=("min_observers",))
+def ba_problem_counts(scene: Scene, cam_in_ba: jnp.ndarray,
+                      min_observers: int = 2):
+    """(n_obs, n_lms) the BA problem would hold — the host fetches these
+    two scalars to pick bucketed compact axis sizes before building the
+    problem (padded N*K / lm_capacity axes cost every LM iteration)."""
+    counts = lm_observer_counts(scene)
+    in_ba = cam_in_ba & scene.pose_valid
+    lm = scene.kp2lm
+    lm0 = jnp.maximum(lm, 0)
+    ok = (
+        (lm >= 0) & scene.kp_mask & in_ba[:, None]
+        & (counts[lm0] >= min_observers) & scene.lm_valid[lm0]
+    )
+    pt = scene.lm_valid & (counts >= min_observers)
+    return jnp.sum(ok), jnp.sum(pt)
+
+
 def _compact_mask(mask: jnp.ndarray, m: int):
     """Indices of the first ``m`` True entries of a flat bool mask.
 
@@ -208,6 +227,7 @@ def ba_problem_windowed(
     max_obs: int = 16384,
     min_observers: int = 2,
     cur: jnp.ndarray | None = None,
+    max_lms: int | None = None,
 ):
     """Compact local-BA problem: participating cameras gathered into a
     static [max_cams] window, their observations into [max_obs] slots, and
@@ -273,7 +293,7 @@ def ba_problem_windowed(
     pt_in_ba = scene.lm_valid & (counts >= min_observers) & seen
 
     # --- landmark compaction ------------------------------------------------
-    max_lms = min(max_obs, L)
+    max_lms = min(max_obs, L) if max_lms is None else min(max_lms, L)
     lm_list, lm_on, lm_remap = _compact_mask(pt_in_ba, max_lms)
     obs_pt_w = lm_remap[obs_pt]
     o_mask = o_mask & (obs_pt_w >= 0)
