@@ -80,6 +80,56 @@ def test_trajectory_ate(sfm_result):
     assert rmse < 0.08, f"ATE {rmse}"
 
 
+def test_compact_global_ba_matches_dense(sfm_result):
+    """The bucketed compact problem `_ba` builds for interim/global BA
+    (pipeline.py) must hold exactly the observations/landmarks of the
+    dense capacity-padded problem and reach the same cost."""
+    _, _, _, scene, _ = sfm_result
+    from eacham_tpu.ba import BAConfig, refine_ba, ba_cost
+    from eacham_tpu.sfm.scene import (
+        ba_problem_from_scene, ba_problem_counts, ba_problem_windowed,
+    )
+
+    n_obs, n_lms = ba_problem_counts(scene, scene.pose_valid)
+    dense = ba_problem_from_scene(scene, scene.pose_valid)
+    assert int(n_obs) == int(jnp.sum(dense.obs_mask))
+    assert int(n_lms) == int(jnp.sum(dense.pt_in_ba))
+
+    N = scene.kp_mask.shape[0]
+    prob, cam_list, cam_on, lm_list, lm_on = ba_problem_windowed(
+        scene, scene.pose_valid, max_cams=N,
+        max_obs=int(n_obs) + 7, max_lms=int(n_lms) + 3,
+    )
+    assert int(jnp.sum(prob.obs_mask)) == int(n_obs)
+    assert int(jnp.sum(prob.pt_in_ba)) == int(n_lms)
+
+    cfg = BAConfig(max_iters=5, tolerance=1e-7)
+    *_, info_d = refine_ba(dense, cfg)
+    *_, info_w = refine_ba(prob, cfg)
+    np.testing.assert_allclose(
+        float(info_w["final_cost"]), float(info_d["final_cost"]),
+        rtol=1e-3, atol=1e-5,
+    )
+
+
+def test_bucket_sizes():
+    from eacham_tpu.sfm.pipeline import _bucket
+
+    assert _bucket(1, 100000) == 1024          # floor
+    assert _bucket(1024, 100000) == 1024       # exact
+    assert _bucket(1025, 100000) == 1536       # 3*2^9
+    assert _bucket(1537, 100000) == 2048       # next 2^k
+    assert _bucket(99999999, 4096) == 4096     # capped
+    for n in range(1, 20000, 37):
+        got = _bucket(n, 1 << 20)
+        assert got >= n                        # never truncates
+        assert got <= max(2 * n, 1024)         # padding waste bounded
+        k = got
+        while k % 2 == 0:                      # from {2^a, 3*2^a} only
+            k //= 2
+        assert k in (1, 3)
+
+
 def test_reprojection_quality(sfm_result):
     """Mean reprojection error of valid landmarks under optimized poses."""
     _, _, intr, scene, _ = sfm_result
