@@ -29,8 +29,9 @@ def candidate_pairs(
     kp_mask: jnp.ndarray,    # [N, K]
     window: int = 10,
     retrieval_k: int = 5,
+    ladder: bool = True,
 ) -> np.ndarray:
-    """Candidate-pair subset: sequential window ∪ descriptor retrieval.
+    """Candidate-pair subset: sequential window ∪ ladder ∪ retrieval.
 
     The reference matches all O(N^2) ordered pairs (apps/sfm/main.cpp:
     84-96), which is both quadratic work and — in the dense-table design
@@ -39,10 +40,21 @@ def candidate_pairs(
     replaces enumeration:
 
       * every frame is paired with its ``window`` successors (video order
-        — where nearly all of the reference's surviving edges live), and
+        — where nearly all of the reference's surviving edges live),
+      * every frame is paired with frames at exponentially spaced offsets
+        (2·window, 4·window, ...) — the "ladder". A window-only graph
+        leaves the trajectory INTERIOR unconstrained at every span beyond
+        the window: scale drift lives exactly in those unobserved
+        low-frequency modes (measured on the 500-frame orbit: local scale
+        swings 0.7-2.3x and loop-only closure cannot remove it, since the
+        loop edges constrain the ends but not the middle). Ladder rungs
+        give the pose graph and the landmark tracks constraints at ALL
+        scales for O(N log N) total pairs; rungs whose views no longer
+        overlap simply fail matching and cost one table row, and
       * each frame retrieves its ``retrieval_k`` most similar non-window
         frames by pooled-descriptor similarity (one [N,D]x[D,N] MXU
-        matmul), which restores loop-closure edges the window misses.
+        matmul), which restores loop-closure edges the ladder misses
+        (revisits are NOT at power-of-two offsets).
 
     Returns [P, 2] int32 with i < j, sorted, deduplicated.
     """
@@ -60,6 +72,13 @@ def candidate_pairs(
     jj = ii + np.tile(np.arange(1, window + 1), N)
     keep = jj < N
     pairs = [np.stack([ii[keep], jj[keep]], -1)]
+
+    if ladder:
+        off = 2 * window
+        while off < N:
+            a = np.arange(N - off)
+            pairs.append(np.stack([a, a + off], -1))
+            off *= 2
 
     if retrieval_k > 0:
         # mask self + window band, then take top-k most similar per frame

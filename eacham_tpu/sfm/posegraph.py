@@ -225,6 +225,26 @@ def optimize_pose_graph(
             ok_l, jnp.maximum(weight[lr_safe], w_loop), weight[lr_safe]))
     on = pose_valid[pair_idx[:, 0]] & pose_valid[pair_idx[:, 1]] & (
         weight >= min_weight)
+    # compact the edge axis to the active rows on the host: the candidate
+    # table is mostly dead edges (padding + failed matches), and the
+    # rotation stage's Jacobian memory scales with the edge count — at
+    # P=8192 the uncompacted jacobian OOMs a 16 GB chip (measured 25.2 G)
+    keep = np.where(np.asarray(on))[0]
+    if keep.size == 0:
+        return poses
+    if has_loop_pnp:
+        # remap loop-row ids into the compacted axis
+        remap = np.full(int(pair_idx.shape[0]), -1, np.int64)
+        remap[keep] = np.arange(keep.shape[0])
+        lrn0 = np.asarray(loop_rows)
+        loop_rows = jnp.asarray(np.where(
+            lrn0 >= 0, remap[np.maximum(lrn0, 0)], -1).astype(np.int32))
+    keep_j = jnp.asarray(keep)
+    pair_idx = pair_idx[keep_j]
+    T_meas = T_meas[keep_j]
+    R_meas = R_meas[keep_j]
+    weight = weight[keep_j]
+    on = on[keep_j]
     sw = jnp.sqrt(jnp.where(on, weight, 0.0))
     sw = sw / jnp.maximum(jnp.max(sw), 1e-9)
     t_meas = T_meas[:, :3, 3]
@@ -239,7 +259,9 @@ def optimize_pose_graph(
         def body(_, state):
             x, lam = state
             r = residuals(x)
-            J = jax.jacrev(
+            # forward mode: n_par (3N) tangents beat n_res (3P >> 3N)
+            # cotangents in both memory and compile size
+            J = jax.jacfwd(
                 lambda v: residuals(v.reshape(x0.shape)))(x.reshape(-1))
             H = J.T @ J
             g = J.T @ r
@@ -387,9 +409,16 @@ def optimize_pose_graph(
         w_dir = (w2 > 0) / (sig_dir ** 2)
 
         # full-vector sigma-coupled edges: local reconstruction vectors plus
-        # PnP loop vectors — residual r = (c_i - c_j) - sigma_i v_e
+        # PnP loop vectors — residual r = (c_i - c_j) - sigma_i v_e.
+        # The PnP center error scales with the local MAP DEPTH (reprojection
+        # noise back-projected), NOT with the edge baseline: flooring sigma
+        # at a fraction of the baseline gave near-coincident revisit edges
+        # (true baseline ~0.1 of the frame step) weights 16x above every
+        # local edge, and 90 such noise-direction vectors bent an ATE-1.1
+        # reconstruction to ATE 9 (N=500 orbit, measured). Floor at half
+        # the median local baseline — a proxy for percent-of-depth noise.
         sig_pnp = 0.05 * np.maximum(np.linalg.norm(v_pnp, axis=-1),
-                                    0.1 * m_med)
+                                    0.5 * m_med)
         w_pnp = (w2 > 0) / (sig_pnp ** 2)
         vec = local | has_pnp
         li = iin[vec]
@@ -491,7 +520,12 @@ def loop_consistency(
     Rr = np.einsum("pab,pcb->pac", rel, Tl[:, :3, :3])
     cosr = np.clip((np.trace(Rr, axis1=1, axis2=2) - 1.0) * 0.5, -1.0, 1.0)
     rot_deg = np.degrees(np.arccos(cosr))
-    # translation-direction residual (c_j in cam_i frame)
+    # translation-direction residual (c_j in cam_i frame), weighted by the
+    # measured baseline: at a near-coincident revisit the TRUE baseline is
+    # a fraction of the PnP noise, so the angle between two ~zero vectors
+    # is meaningless (measured: 46 deg median on span-480 edges whose
+    # relative poses were sub-degree correct) — those edges carry rotation
+    # information only
     a = np.einsum("pab,pb->pa", Ri, centers_of(T)[j] - centers_of(T)[i])
     b = -np.einsum("pba,pb->pa", Tl[:, :3, :3], Tl[:, :3, 3])
     an = np.linalg.norm(a, axis=1)
@@ -500,8 +534,10 @@ def loop_consistency(
     dir_deg = np.zeros(len(rows))
     dir_deg[ok] = np.degrees(np.arccos(np.clip(
         (a[ok] * b[ok]).sum(1) / (an[ok] * bn[ok]), -1.0, 1.0)))
+    b_ref = max(float(np.median(bn)), 1e-9)
+    dir_w = np.minimum(bn / b_ref, 1.0)
     ww = wln[sel]
-    return float(np.sum(ww * (rot_deg + dir_deg)) / np.sum(ww))
+    return float(np.sum(ww * (rot_deg + dir_w * dir_deg)) / np.sum(ww))
 
 
 def centers_of(T: np.ndarray) -> np.ndarray:

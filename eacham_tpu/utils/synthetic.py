@@ -12,17 +12,71 @@ from __future__ import annotations
 import numpy as np
 
 
-def make_blob_scene(rng, n_blobs: int = 400, depth=(3.0, 8.0), spread=1.5):
-    """Random 3-D blob field with per-blob appearance parameters."""
+def make_blob_scene(rng, n_blobs: int = 400, depth=(3.0, 8.0), spread=1.5,
+                    textured: bool = False):
+    """Random 3-D blob field with per-blob appearance parameters.
+
+    ``textured`` stamps a random sinusoidal pattern (frequency, phase,
+    orientation) onto each blob. Plain Gaussians are photometrically
+    near-identical, so descriptors are ambiguous and matching collapses
+    beyond tiny viewpoint changes (measured on the 500-frame orbit: at a
+    10-frame offset only ~1-4 of the NN matches are epipolar-consistent
+    with ground truth at ANY ratio). Real scenes have distinctive local
+    texture; the modulation restores that property for wide-baseline
+    workloads.
+    """
     pts = rng.uniform(-spread, spread, (n_blobs, 3)).astype(np.float32)
     pts[:, 2] = rng.uniform(depth[0], depth[1], n_blobs)
-    return {
+    scene = {
         "pts": pts,
         "amp": rng.uniform(0.35, 1.0, n_blobs).astype(np.float32),
         "theta": rng.uniform(0, np.pi, n_blobs).astype(np.float32),
         "sx": rng.uniform(1.5, 4.0, n_blobs).astype(np.float32),
         "sy": rng.uniform(1.5, 4.0, n_blobs).astype(np.float32),
     }
+    if textured:
+        wav = rng.uniform(3.0, 9.0, n_blobs).astype(np.float32)  # px
+        ang = rng.uniform(0, np.pi, n_blobs).astype(np.float32)
+        scene["tfx"] = (2 * np.pi / wav * np.cos(ang)).astype(np.float32)
+        scene["tfy"] = (2 * np.pi / wav * np.sin(ang)).astype(np.float32)
+        scene["tph"] = rng.uniform(0, 2 * np.pi, n_blobs).astype(np.float32)
+        scene["tm"] = rng.uniform(0.5, 0.9, n_blobs).astype(np.float32)
+    return scene
+
+
+def make_surface_scene(rng, n_blobs: int = 4000, center=(0.0, 0.0, 9.0),
+                       radius: float = 5.0, jitter: float = 0.15):
+    """Textured blobs sampled ON a (jittered) sphere — a surface world.
+
+    A volumetric blob cloud cannot support wide-baseline matching at all:
+    overlapping blobs at different depths shift tens of pixels relative to
+    each other between nearby views (measured: descriptor cosine to the
+    true counterpart drops to ~0.68 five frames apart on the 500-frame
+    orbit), so every descriptor window is rearranged by parallax. Real
+    scenes are piecewise-smooth SURFACES — neighboring structure sits at
+    similar depth and local patches transform coherently. Sampling the
+    blob field on a sphere restores that property while keeping exact
+    ground truth and full 360-degree orbit coverage (there is always a
+    facing hemisphere; the far side is occluded by the compositing order).
+    """
+    n = rng.normal(size=(n_blobs, 3))
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    r = radius * (1.0 + jitter * rng.uniform(-1, 1, (n_blobs, 1)))
+    pts = (np.asarray(center, np.float32) + n * r).astype(np.float32)
+    scene = {
+        "pts": pts,
+        "amp": rng.uniform(0.35, 1.0, n_blobs).astype(np.float32),
+        "theta": rng.uniform(0, np.pi, n_blobs).astype(np.float32),
+        "sx": rng.uniform(2.0, 5.0, n_blobs).astype(np.float32),
+        "sy": rng.uniform(2.0, 5.0, n_blobs).astype(np.float32),
+    }
+    wav = rng.uniform(3.0, 9.0, n_blobs).astype(np.float32)
+    ang = rng.uniform(0, np.pi, n_blobs).astype(np.float32)
+    scene["tfx"] = (2 * np.pi / wav * np.cos(ang)).astype(np.float32)
+    scene["tfy"] = (2 * np.pi / wav * np.sin(ang)).astype(np.float32)
+    scene["tph"] = rng.uniform(0, 2 * np.pi, n_blobs).astype(np.float32)
+    scene["tm"] = rng.uniform(0.5, 0.9, n_blobs).astype(np.float32)
+    return scene
 
 
 def render_view(scene: dict, T: np.ndarray, intr, width: int, height: int,
@@ -43,7 +97,18 @@ def render_view(scene: dict, T: np.ndarray, intr, width: int, height: int,
     u = fx * pc[:, 0] / np.maximum(pc[:, 2], 0.2) + cx
     v = fy * pc[:, 1] / np.maximum(pc[:, 2], 0.2) + cy
     r = 14  # paint window half-size
-    for k in np.nonzero(vis & (u > -r) & (u < width + r) & (v > -r) & (v < height + r))[0]:
+    composite = "tfx" in scene
+    paint = np.nonzero(
+        vis & (u > -r) & (u < width + r) & (v > -r) & (v < height + r))[0]
+    if composite:
+        # textured scenes composite back-to-front with per-blob opacity:
+        # additive splatting overdraws every pixel ~an order of magnitude,
+        # so parallax between overlapping blobs scrambles local appearance
+        # and wide-baseline matching is impossible no matter the
+        # descriptor (measured). Occlusion is the property of real scenes
+        # that keeps local appearance stable — "over" blending restores it.
+        paint = paint[np.argsort(-pc[paint, 2])]
+    for k in paint:
         x0 = max(0, int(u[k]) - r)
         x1 = min(width, int(u[k]) + r + 1)
         y0 = max(0, int(v[k]) - r)
@@ -56,7 +121,24 @@ def render_view(scene: dict, T: np.ndarray, intr, width: int, height: int,
         c, s = np.cos(scene["theta"][k]), np.sin(scene["theta"][k])
         rx = (c * dx + s * dy) / scene["sx"][k]
         ry = (-s * dx + c * dy) / scene["sy"][k]
-        img[y0:y1, x0:x1] += scene["amp"][k] * np.exp(-0.5 * (rx * rx + ry * ry))
+        gauss = np.exp(-0.5 * (rx * rx + ry * ry))
+        if composite:
+            # per-blob sinusoidal stamp in blob-local pixel coordinates —
+            # blobs are fixed-size sprites (footprint does not transform
+            # with view), so a pixel-anchored pattern is view-consistent
+            # by construction while making each blob visually unique
+            lx = c * dx + s * dy
+            ly = -s * dx + c * dy
+            m = scene["tm"][k]
+            tex = (1.0 + m * np.cos(
+                scene["tfx"][k] * lx + scene["tfy"][k] * ly
+                + scene["tph"][k])) / (1.0 + m)
+            color = scene["amp"][k] * tex
+            alpha = np.minimum(3.0 * gauss, 1.0)  # opaque core, soft edge
+            sl = img[y0:y1, x0:x1]
+            img[y0:y1, x0:x1] = sl * (1.0 - alpha) + color * alpha
+        else:
+            img[y0:y1, x0:x1] += scene["amp"][k] * gauss
     return np.clip(img, 0.0, 1.0)
 
 

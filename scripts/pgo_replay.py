@@ -92,7 +92,7 @@ def main():
         e1 = loop_consistency(out, pair_idx, kw["loop_rows"],
                               kw["T_loop"], kw["w_loop"])
         print(f"loop consistency: {e0:.3f} -> {e1:.3f} deg "
-              f"({'ACCEPT' if e1 < e0 else 'REJECT'})")
+              f"({'ACCEPT' if e1 < 0.7 * e0 else 'REJECT'})")
 
     n = args.gt_frames or pose.shape[0]
     gt = orbit_gt(n)

@@ -23,7 +23,7 @@ def main():
     ap.add_argument("--frames", type=int, default=500)
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--height", type=int, default=384)
-    ap.add_argument("--kps", type=int, default=512)
+    ap.add_argument("--kps", type=int, default=1024)
     ap.add_argument("--interim", type=int, default=10)
     ap.add_argument("--loop-close", type=int, default=1)
     ap.add_argument("--cache", default="/tmp/stress500_feat.npz",
@@ -38,7 +38,7 @@ def main():
     from eacham_tpu.sfm import run_sfm, SfmOptions
     from eacham_tpu.utils.evaluate import ate_rmse
     from eacham_tpu.utils.synthetic import (
-        make_blob_scene, render_view,
+        make_surface_scene, render_view,
     )
 
     N = args.frames
@@ -91,8 +91,11 @@ def main():
     poses = np.stack(poses)
     if cached is None:
         t0 = time.perf_counter()
-        scene_blobs = make_blob_scene(rng, n_blobs=2200, depth=(4.0, 14.0),
-                                      spread=7.0)
+        # textured SURFACE world (blobs on a jittered sphere): a volumetric
+        # blob cloud cannot support wide-baseline matching — overlapping
+        # blobs at different depths rearrange every descriptor window
+        # between views (see make_surface_scene docstring for the numbers)
+        scene_blobs = make_surface_scene(rng, n_blobs=4000, jitter=0.05)
         images = np.stack([
             render_view(scene_blobs, T, intr, W, H) for T in poses
         ])
@@ -101,10 +104,10 @@ def main():
 
     opts = SfmOptions(
         pair_window=10, pair_retrieval_k=3,
-        min_initial_inliers=80, min_matches=25, match_ratio=0.80,
+        min_initial_inliers=80, min_matches=20, match_ratio=0.85,
         init_min_tri_angle_deg=0.8, min_tri_angle_deg=0.8,
         ransac_hyps_e=256, ransac_hyps_h=128, ransac_hyps_pnp=256,
-        lm_capacity=65536, refine_max_iters=30, global_max_iters=40,
+        lm_capacity=131072, refine_max_iters=30, global_max_iters=40,
         match_chunk=32, interim_ba_iters=args.interim,
         loop_close=bool(args.loop_close),
     )

@@ -23,12 +23,25 @@ def _frames_with_loop(rng, n_frames=30, n_pts=96, d=64):
 
 def test_window_pairs_complete(rng):
     desc, mask = _frames_with_loop(rng)
-    pairs = candidate_pairs(desc, mask, window=4, retrieval_k=0)
+    pairs = candidate_pairs(desc, mask, window=4, retrieval_k=0,
+                            ladder=False)
     got = set(map(tuple, np.asarray(pairs)))
     for i in range(30):
         for j in range(i + 1, min(i + 5, 30)):
             assert (i, j) in got
     assert all(j - i <= 4 for i, j in got)
+
+
+def test_ladder_rungs_cover_all_spans(rng):
+    desc, mask = _frames_with_loop(rng)
+    pairs = candidate_pairs(desc, mask, window=4, retrieval_k=0, ladder=True)
+    got = set(map(tuple, np.asarray(pairs)))
+    # exponential offsets 8, 16 exist for every frame that fits
+    for off in (8, 16):
+        for i in range(30 - off):
+            assert (i, i + off) in got
+    # total stays O(N log N), far below exhaustive
+    assert len(got) < 30 * 29 // 2 / 2
 
 
 def test_retrieval_recovers_loop_closure(rng):
