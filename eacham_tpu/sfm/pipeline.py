@@ -374,9 +374,13 @@ def run_sfm(
     key = jax.random.PRNGKey(opt.seed)
     N = keypoints.shape[0]
 
+    import time as _time
+    _t0 = _time.perf_counter()
+
     def log(*a):
         if verbose:
-            print("[sfm]", *a, flush=True)
+            print(f"[sfm +{_time.perf_counter() - _t0:7.1f}s]", *a,
+                  flush=True)
 
     if opt.min_features_count > 0:
         # frames under the feature floor are dropped from the graph, the

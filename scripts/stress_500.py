@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--height", type=int, default=384)
     ap.add_argument("--kps", type=int, default=1024)
     ap.add_argument("--interim", type=int, default=10)
+    ap.add_argument("--max-observers", type=int, default=12)
+    ap.add_argument("--retrieval-k", type=int, default=3)
     ap.add_argument("--loop-close", type=int, default=1)
     ap.add_argument("--cache", default="/tmp/stress500_feat.npz",
                     help="feature cache (skips render+extract on reruns)")
@@ -103,7 +105,8 @@ def main():
               f"{time.perf_counter() - t0:.0f}s", flush=True)
 
     opts = SfmOptions(
-        pair_window=10, pair_retrieval_k=3,
+        pair_window=10, pair_retrieval_k=args.retrieval_k,
+        max_observers=args.max_observers,
         min_initial_inliers=80, min_matches=20, match_ratio=0.85,
         init_min_tri_angle_deg=0.8, min_tri_angle_deg=0.8,
         ransac_hyps_e=256, ransac_hyps_h=128, ransac_hyps_pnp=256,
@@ -120,12 +123,16 @@ def main():
         t_extract = time.perf_counter() - t0
         print(f"extract: {t_extract:.1f}s", flush=True)
         if cache is not None:
-            np.savez(cache, xy=np.asarray(xy), desc=np.asarray(desc),
+            # fp16 descriptors: halves the 0.5 GB host->device upload on
+            # cached reruns (values are L2-normalized, matching matmuls run
+            # bf16 anyway — fp16 storage is lossless for ranking)
+            np.savez(cache, xy=np.asarray(xy),
+                     desc=np.asarray(desc).astype(np.float16),
                      mask=np.asarray(mask), n=N, w=W, h=H, kps=args.kps,
                      t_extract=t_extract)
     else:
         xy = jnp.asarray(cached["xy"])
-        desc = jnp.asarray(cached["desc"])
+        desc = jnp.asarray(cached["desc"]).astype(jnp.float32)
         mask = jnp.asarray(cached["mask"])
         t_extract = float(cached["t_extract"])
 
