@@ -78,6 +78,10 @@ class SfmOptions:
     local_ba_tolerance: float = 3e-4
     local_ba_max_cams: int = 16
     local_ba_max_obs: int = 16384
+    # run the per-frame local BA only on every M-th registration (1 = all):
+    # it is ~80% of the sweep's wall time; skipped frames are refined by
+    # the next overlapping window and the interim/global BA
+    local_ba_every: int = 1
     global_max_iters: int = 150       # json:38
     global_tolerance: float = 1e-7    # json:39
     min_ba_landmarks: int = 50        # BundleAdjuster.cpp:166
@@ -513,6 +517,7 @@ def run_sfm(
             # and the local-BA cost is linear in it (obs AND landmark axes)
             ba_max_obs=min(opt.local_ba_max_obs,
                            min(opt.local_ba_max_cams, N) * keypoints.shape[1]),
+            ba_every=opt.local_ba_every,
             segment=opt.sweep_segment,
             on_segment=on_segment,
         )
@@ -706,6 +711,7 @@ def resume_sfm(
         ba_max_obs=min(opt.local_ba_max_obs,
                        min(opt.local_ba_max_cams, N)
                        * scene.kp_mask.shape[1]),
+        ba_every=opt.local_ba_every,
         segment=opt.sweep_segment,
     )
     log(f"resume sweep: +{int(n_reg)} frames registered")
@@ -733,16 +739,27 @@ def _finalize(scene, excluded, opt: SfmOptions, global_cfg, i0, j0, N, log,
             from eacham_tpu.sfm.filtering import prune_observations
 
             scene, n_obs, n_lm = prune_observations(scene, opt.max_repr_error)
-            scene, info2 = _ba(
-                scene, scene.pose_valid, global_cfg, opt.min_ba_landmarks,
-                mesh=mesh,
-            )
-            if info2 is not None:
-                log(
-                    f"global BA 2 (post-prune -{int(n_obs)} obs): "
-                    f"{float(info2['initial_cost']):.1f} -> "
-                    f"{float(info2['final_cost']):.1f}"
+            # the second BA only pays off when the post-BA prune actually
+            # changed the problem; on clean runs it removes a handful of
+            # observations (500-frame stress: 57 of ~300k) and the BA is a
+            # full-price no-op — skip below 0.1% removed
+            total_obs = int(jnp.sum(
+                (scene.kp2lm >= 0) & scene.kp_mask & scene.pose_valid[:, None]
+            ))
+            if int(n_obs) >= max(8, total_obs // 1000):
+                scene, info2 = _ba(
+                    scene, scene.pose_valid, global_cfg,
+                    opt.min_ba_landmarks, mesh=mesh,
                 )
+                if info2 is not None:
+                    log(
+                        f"global BA 2 (post-prune -{int(n_obs)} obs): "
+                        f"{float(info2['initial_cost']):.1f} -> "
+                        f"{float(info2['final_cost']):.1f}"
+                    )
+            else:
+                log(f"global BA 2 skipped (prune removed {int(n_obs)} obs "
+                    f"of {total_obs})")
 
     stats = {
         "registered": int(jnp.sum(scene.pose_valid)),

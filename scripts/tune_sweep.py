@@ -39,10 +39,11 @@ def main():
     )
 
     variants = [
-        ("iters=8 (clamped obs)", base),
-        ("iters=6", replace(base, local_ba_max_iters=6)),
-        ("iters=5", replace(base, local_ba_max_iters=5)),
-        ("iters=4", replace(base, local_ba_max_iters=4)),
+        ("ba_every=1 (baseline)", base),
+        ("ba_every=2", replace(base, local_ba_every=2)),
+        ("ba_every=3", replace(base, local_ba_every=3)),
+        ("ba_every=2, iters=4", replace(base, local_ba_every=2,
+                                        local_ba_max_iters=4)),
     ]
 
     for label, opts in variants:

@@ -147,3 +147,28 @@ def test_reprojection_quality(sfm_result):
     )
     m = np.asarray(prob.obs_mask)
     assert err[m].mean() < 1.5   # px, noise floor is 0.3 px
+
+
+def test_local_ba_amortization():
+    """local_ba_every > 1 must still register every frame and keep the
+    trajectory within the quality gate — skipped per-frame refinements are
+    recovered by overlapping windows and the interim/global BA."""
+    rng = np.random.default_rng(11)
+    poses_gt, pts_gt, intr, kps, desc, mask = make_feature_world(rng)
+    opts = SfmOptions(
+        min_initial_inliers=100, min_matches=20,
+        ransac_hyps_e=256, ransac_hyps_h=128, ransac_hyps_pnp=256,
+        lm_capacity=4096, local_ba_every=2,
+    )
+    scene, stats = run_sfm(
+        jnp.asarray(kps), jnp.asarray(desc), jnp.asarray(mask),
+        image_size=(640, 480), intr=jnp.asarray(intr, jnp.float32),
+        options=opts, verbose=False,
+    )
+    assert stats["registered"] == poses_gt.shape[0]
+    valid = np.asarray(scene.pose_valid)
+    est = np.asarray(scene.pose)[valid]
+    gt = poses_gt[valid]
+    c_est = -np.einsum("nij,ni->nj", est[:, :3, :3], est[:, :3, 3])
+    c_gt = -np.einsum("nij,ni->nj", gt[:, :3, :3], gt[:, :3, 3])
+    assert ate_rmse(c_est, c_gt) < 0.08
