@@ -95,6 +95,30 @@ def describe_keypoints(
                                 scale_idx, mask)
 
 
+def _level_blur_multi(hist: jnp.ndarray) -> jnp.ndarray:
+    """Blur [S, BINS, H, W] with each level's own separable Gaussian in
+    ONE grouped conv pair (feature_group_count = S*BINS). Shorter levels'
+    taps are zero-padded to the longest radius — identical to a smaller
+    SAME conv, since both pad the border with zeros."""
+    S, C, H, W = hist.shape
+    taps = [_gauss_kernel(0.5 * _cell_size(s)) for s in range(S)]
+    r = max((len(t) - 1) // 2 for t in taps)
+    T = 2 * r + 1
+    padded = np.zeros((S, T), np.float32)
+    for s, t in enumerate(taps):
+        rs = (len(t) - 1) // 2
+        padded[s, r - rs:r + rs + 1] = t
+    k = jnp.asarray(np.repeat(padded, C, axis=0))        # [S*C, T]
+    x = hist.reshape(1, S * C, H, W)
+    kh = k[:, None, :, None]                             # [S*C, 1, T, 1]
+    kw = k[:, None, None, :]
+    x = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), [(r, r), (0, 0)], feature_group_count=S * C)
+    x = jax.lax.conv_general_dilated(
+        x, kw, (1, 1), [(0, 0), (r, r)], feature_group_count=S * C)
+    return x.reshape(S, C, H, W)
+
+
 def describe_from_stacks(
     stacks,                  # octave_stacks(img, n_octaves)
     xy: jnp.ndarray,         # [K, 2] full-resolution pixels
@@ -102,7 +126,68 @@ def describe_from_stacks(
     mask: jnp.ndarray,       # [K] bool
 ):
     """Descriptors from precomputed per-octave Gaussian stacks (shared
-    with the detector — the pyramid convs dominate extraction cost)."""
+    with the detector — the pyramid convs dominate extraction cost).
+
+    All DoG levels of an octave are processed as one batch (grouped conv
+    for the per-level blurs, one vmapped 4-gather bilinear read for all
+    16 cells x S levels): the unrolled form emitted ~1000 gather HLOs and
+    dominated the pipeline's cold-compile time (75 s of 141 s at N=100).
+    """
+    K = xy.shape[0]
+    S = N_SCALES - 1
+    cells = np.array([_cell_size(s) for s in range(S)], np.float32)
+    # cell-center offsets, cy-major to match _CELL_WINDOW's layout
+    cxs = np.tile(_CELL_POS, GRID)                       # [16]
+    cys = np.repeat(_CELL_POS, GRID)
+
+    level_desc = []                                      # [S, K, 16, BINS] per octave
+    for o, g in enumerate(stacks):
+        factor = float(2 ** o)
+        lvls = g[:S]                                     # DoG levels only
+        gx = 0.5 * (jnp.roll(lvls, -1, axis=2) - jnp.roll(lvls, 1, axis=2))
+        gy = 0.5 * (jnp.roll(lvls, -1, axis=1) - jnp.roll(lvls, 1, axis=1))
+        mag = jnp.sqrt(gx * gx + gy * gy + 1e-12)
+        ori = jnp.arctan2(gy, gx)
+
+        b = (ori / (2.0 * np.pi) + 0.5) * BINS
+        b0 = jnp.floor(b)
+        w1 = b - b0
+        b0i = b0.astype(jnp.int32) % BINS
+        b1i = (b0i + 1) % BINS
+        # orientation channel maps [S, BINS, H, W] — elementwise selects
+        ch = jnp.arange(BINS, dtype=jnp.int32)[None, :, None, None]
+        hist = (mag[:, None] * (1.0 - w1)[:, None] * (b0i[:, None] == ch)
+                + mag[:, None] * w1[:, None] * (b1i[:, None] == ch))
+        hist = _level_blur_multi(hist)
+
+        # all 16 cell centers x S levels in octave coords: [S, 16, K]
+        px = (xy[None, None, :, 0] / factor
+              + cxs[None, :, None] * cells[:, None, None])
+        py = (xy[None, None, :, 1] / factor
+              + cys[None, :, None] * cells[:, None, None])
+        samp = jax.vmap(_bilinear_chw)(
+            hist, px.reshape(S, -1), py.reshape(S, -1))  # [S, 16K, BINS]
+        level_desc.append(
+            samp.reshape(S, GRID * GRID, K, BINS).transpose(0, 2, 1, 3)
+        )
+
+    all_levels = jnp.concatenate(level_desc, axis=0)     # [L, K, 16, BINS]
+    idx = jnp.clip(scale_idx, 0, all_levels.shape[0] - 1)
+    desc = all_levels[idx, jnp.arange(K)]                # [K, 16, BINS]
+    desc = desc * jnp.asarray(_CELL_WINDOW)[None, :, None]
+
+    desc = desc.reshape(K, DESC_DIM)
+    # normalize -> clip 0.2 -> renormalize (standard SIFT illumination guard)
+    desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-8)
+    desc = jnp.minimum(desc, 0.2)
+    desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-8)
+    return jnp.where(mask[:, None], desc, 0.0)
+
+
+def _describe_unrolled(stacks, xy, scale_idx, mask):
+    """Reference (pre-batching) form of describe_from_stacks — kept for the
+    equivalence test only; same math, one Python iteration per (octave,
+    level, cell)."""
     K = xy.shape[0]
 
     desc = jnp.zeros((K, GRID * GRID, BINS), jnp.float32)
@@ -120,7 +205,6 @@ def describe_from_stacks(
             w1 = b - b0
             b0i = b0.astype(jnp.int32) % BINS
             b1i = (b0i + 1) % BINS
-            # orientation channel maps [BINS, H, W] — elementwise selects
             ch = jnp.arange(BINS, dtype=jnp.int32)[:, None, None]
             hist = (mag * (1.0 - w1) * (b0i[None] == ch)
                     + mag * w1 * (b1i[None] == ch))
@@ -128,7 +212,6 @@ def describe_from_stacks(
             cell = _cell_size(s)
             hist = _depthwise_blur(hist, _gauss_kernel(0.5 * cell))
 
-            # sample the 16 cell centers for every keypoint (octave coords)
             samples = []
             for cy in _CELL_POS:
                 for cx in _CELL_POS:
@@ -143,7 +226,6 @@ def describe_from_stacks(
             )
 
     desc = desc.reshape(K, DESC_DIM)
-    # normalize -> clip 0.2 -> renormalize (standard SIFT illumination guard)
     desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-8)
     desc = jnp.minimum(desc, 0.2)
     desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-8)

@@ -139,3 +139,20 @@ def test_blur_stack_matmul_matches_conv():
     ref = jnp.stack([_sep_blur(img, _gauss_kernel(s)) for s in sigmas])
     mm = _blur_stack_mm(img, sigmas)
     assert np.abs(np.asarray(ref) - np.asarray(mm)).max() < 2e-6
+
+
+def test_descriptor_batched_matches_unrolled(rng):
+    """The level/cell-batched descriptor must reproduce the unrolled
+    per-(octave, level, cell) form exactly (same math, one grouped conv
+    + one gather instead of ~1000 HLOs)."""
+    from eacham_tpu.features.descriptor import (
+        _describe_unrolled, describe_from_stacks,
+    )
+    from eacham_tpu.features.detector import octave_stacks
+
+    img, _ = _texture(rng)
+    xy, sidx, score, mask = detect_keypoints(jnp.asarray(img), max_keypoints=128)
+    stacks = octave_stacks(jnp.asarray(img), 3)
+    new = np.asarray(describe_from_stacks(stacks, xy, sidx, mask))
+    old = np.asarray(_describe_unrolled(stacks, xy, sidx, mask))
+    np.testing.assert_allclose(new, old, atol=2e-5)
