@@ -739,14 +739,18 @@ def _finalize(scene, excluded, opt: SfmOptions, global_cfg, i0, j0, N, log,
             from eacham_tpu.sfm.filtering import prune_observations
 
             scene, n_obs, n_lm = prune_observations(scene, opt.max_repr_error)
-            # the second BA only pays off when the post-BA prune actually
-            # changed the problem; on clean runs it removes a handful of
-            # observations (500-frame stress: 57 of ~300k) and the BA is a
-            # full-price no-op — skip below 0.1% removed
+            # the second BA pays off in two cases: the post-BA prune
+            # actually changed the problem (>=0.1% of observations
+            # removed), or BA 1 ran out of its iteration budget with the
+            # cost still falling (then BA 2 is a second budget of useful
+            # iterations — measured on the 500-frame stress: skipping it
+            # there cost ATE 1.05 -> 1.16). Only when neither holds is it
+            # a full-price no-op worth skipping.
             total_obs = int(jnp.sum(
                 (scene.kp2lm >= 0) & scene.kp_mask & scene.pose_valid[:, None]
             ))
-            if int(n_obs) >= max(8, total_obs // 1000):
+            ba1_capped = int(info["iterations"]) >= global_cfg.max_iters
+            if ba1_capped or int(n_obs) >= max(8, total_obs // 1000):
                 scene, info2 = _ba(
                     scene, scene.pose_valid, global_cfg,
                     opt.min_ba_landmarks, mesh=mesh,

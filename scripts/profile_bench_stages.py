@@ -44,7 +44,7 @@ def main():
         init_min_tri_angle_deg=1.0, min_tri_angle_deg=1.0,
         ransac_hyps_e=256, ransac_hyps_h=128, ransac_hyps_pnp=256,
         lm_capacity=16384, refine_max_iters=30, global_max_iters=50,
-        match_chunk=32,
+        match_chunk=32, local_ba_every=3,   # keep in lockstep with bench.py
     )
     intr_j = jnp.asarray(intr)
 

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--max-observers", type=int, default=12)
     ap.add_argument("--retrieval-k", type=int, default=3)
     ap.add_argument("--loop-close", type=int, default=1)
+    ap.add_argument("--ba-every", type=int, default=1,
+                    help="run the windowed local BA on every M-th "
+                         "registration (SfmOptions.local_ba_every)")
     ap.add_argument("--cache", default="/tmp/stress500_feat.npz",
                     help="feature cache (skips render+extract on reruns)")
     args = ap.parse_args()
@@ -113,6 +116,7 @@ def main():
         lm_capacity=131072, refine_max_iters=30, global_max_iters=40,
         match_chunk=32, interim_ba_iters=args.interim,
         loop_close=bool(args.loop_close),
+        local_ba_every=args.ba_every,
     )
 
     if cached is None:
@@ -123,11 +127,11 @@ def main():
         t_extract = time.perf_counter() - t0
         print(f"extract: {t_extract:.1f}s", flush=True)
         if cache is not None:
-            # fp16 descriptors: halves the 0.5 GB host->device upload on
-            # cached reruns (values are L2-normalized, matching matmuls run
-            # bf16 anyway — fp16 storage is lossless for ranking)
+            # fp32 descriptors: fp16 storage was measured to NOT be
+            # match-lossless — quantizing flips enough near-tie ratio
+            # tests to move the 500-frame ATE 1.05 -> 1.16
             np.savez(cache, xy=np.asarray(xy),
-                     desc=np.asarray(desc).astype(np.float16),
+                     desc=np.asarray(desc),
                      mask=np.asarray(mask), n=N, w=W, h=H, kps=args.kps,
                      t_extract=t_extract)
     else:
