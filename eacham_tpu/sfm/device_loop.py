@@ -38,7 +38,7 @@ from eacham_tpu.sfm.triangulate import triangulate_frame
 def registration_sweep_step(
     scene: Scene,
     excluded: jnp.ndarray,       # [N] bool
-    pid_tbl: jnp.ndarray,        # [N, N] int32 pair-id lookup
+    fp_tbl: jnp.ndarray,         # [N, D] int32 frame_pair_table
     key,
     max_repr_error: float,
     min_tri_angle: float,
@@ -72,7 +72,7 @@ def registration_sweep_step(
             pose=scene.pose.at[cur].set(T),
             pose_valid=scene.pose_valid.at[cur].set(True),
         )
-        pid_row = pid_tbl[cur]
+        pid_row = fp_tbl[cur]
         scene, _, _ = triangulate_frame(
             scene, cur, pid_row, jnp.int32(2),
             max_repr_error, min_tri_angle, max_observers=max_observers,
@@ -110,7 +110,7 @@ def registration_sweep_step(
         has = score >= 0
         key, k = jax.random.split(key)
         T, n_inl = pnp_register(
-            scene, prev, cur, pid_tbl[cur], k,
+            scene, prev, cur, fp_tbl[cur], k,
             threshold=4.0, n_hyp=n_hyp_pnp, pair_only=pnp_pair_only,
         )
         ok = has & (n_inl >= min_pnp_inliers)
@@ -135,7 +135,7 @@ def registration_sweep_step(
 def registration_sweep(
     scene: Scene,
     excluded: jnp.ndarray,
-    pid_tbl: jnp.ndarray,
+    fp_tbl: jnp.ndarray,
     key,
     max_repr_error: float,
     min_tri_angle: float,
@@ -160,14 +160,14 @@ def registration_sweep(
     N = scene.kp_mask.shape[0]
     if segment <= 0 or segment >= N:
         scene, excluded, n_reg, _ = registration_sweep_step(
-            scene, excluded, pid_tbl, key, max_repr_error, min_tri_angle,
+            scene, excluded, fp_tbl, key, max_repr_error, min_tri_angle,
             **kw)
         return scene, excluded, n_reg
     total = jnp.int32(0)
     for s in range(0, N + segment, segment):
         key, k = jax.random.split(key)
         scene, excluded, n_reg, more = registration_sweep_step(
-            scene, excluded, pid_tbl, k, max_repr_error, min_tri_angle,
+            scene, excluded, fp_tbl, k, max_repr_error, min_tri_angle,
             max_steps=segment, **kw)
         total = total + n_reg
         if not bool(more):

@@ -242,7 +242,7 @@ def build_match_tables(
 
 def observers_of_frame(
     frame: jnp.ndarray,        # [] int32 — the "current" frame c
-    pair_id_row: jnp.ndarray,  # [N] int32 — pair_id_table[c], -1 = no edge
+    pair_rows: jnp.ndarray,    # [D] int32 — frame_pair_table[c], -1 padded
     pair_idx: jnp.ndarray,     # [P, 2]
     pair_ok: jnp.ndarray,      # [P]
     match_ij: jnp.ndarray,     # [P, K]
@@ -250,23 +250,30 @@ def observers_of_frame(
     match_ji: jnp.ndarray,
     valid_ji: jnp.ndarray,
 ):
-    """For every keypoint k of frame c: the matched keypoint in every other
-    frame v — the dense form of walking a node's factors
-    (Node.h:163-190 GetFactors + Factor::matches).
+    """For every keypoint k of frame c: the matched keypoint in each of
+    c's candidate neighbors — the dense form of walking a node's factors
+    (Node.h:163-190 GetFactors + Factor::matches), compacted to the
+    frame's degree D instead of all N frames (frames sharing no candidate
+    edge with c can contribute nothing; at windowed-candidate scale D is
+    O(window), independent of N).
 
-    Returns ``(obs_kp [N, K] int32, obs_on [N, K] bool)`` where
-    obs_kp[v, k] is the kp index in frame v matched to kp k of frame c.
+    Returns ``(obs_frame [D] int32, obs_kp [D, K] int32, obs_on [D, K])``
+    where obs_kp[d, k] is the kp index in frame obs_frame[d] matched to kp
+    k of frame c. ``pair_rows`` lists neighbors in ascending frame order,
+    so first-True selections over axis 0 keep the old all-frames-table
+    semantics.
     """
-    N = pair_id_row.shape[0]
-    pid = jnp.maximum(pair_id_row, 0)
-    has_edge = (pair_id_row >= 0) & pair_ok[pid]
-    # row v of the result comes from the forward table when c is the pair's
-    # "i" slot, from the inverse table otherwise.
+    pid = jnp.maximum(pair_rows, 0)
+    has_edge = (pair_rows >= 0) & pair_ok[pid]
+    # slot d comes from the forward table when c is the pair's "i" slot,
+    # from the inverse table otherwise.
     c_is_i = pair_idx[pid, 0] == frame
-    fwd = match_ij[pid]       # [N, K]
+    obs_frame = jnp.where(c_is_i, pair_idx[pid, 1], pair_idx[pid, 0])
+    obs_frame = jnp.where(has_edge, obs_frame, frame).astype(jnp.int32)
+    fwd = match_ij[pid]       # [D, K]
     fwd_v = valid_ij[pid]
     bwd = match_ji[pid]
     bwd_v = valid_ji[pid]
     obs_kp = jnp.where(c_is_i[:, None], fwd, bwd)
     obs_on = jnp.where(c_is_i[:, None], fwd_v, bwd_v) & has_edge[:, None]
-    return obs_kp, obs_on
+    return obs_frame, obs_kp, obs_on

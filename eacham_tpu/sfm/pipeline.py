@@ -32,7 +32,7 @@ from eacham_tpu.geometry.camera import intrinsics_from_image_size
 from eacham_tpu.geometry.pnp import solve_pnp_ransac
 from eacham_tpu.sfm.matches import build_match_tables, observers_of_frame
 from eacham_tpu.sfm.scene import (
-    Scene, make_scene, pair_id_table, ba_problem_counts,
+    Scene, make_scene, frame_pair_table, ba_problem_counts,
     ba_problem_windowed, scatter_window_poses, scatter_window_points,
     alloc_landmarks,
 )
@@ -224,7 +224,7 @@ def pnp_register(
     scene: Scene,
     prev: jnp.ndarray,
     cur: jnp.ndarray,
-    pair_id_row: jnp.ndarray,   # [N] — pair_id_table[cur]
+    pair_rows: jnp.ndarray,     # [D] — frame_pair_table[cur]
     key,
     threshold: float = 4.0,     # ReconstructionManager.cpp:224
     n_hyp: int = 512,
@@ -236,16 +236,15 @@ def pnp_register(
     Returns (T [4,4], n_inliers). Caller applies the min-inlier gate.
     """
     N, K = scene.kp_mask.shape
-    obs_kp, obs_on = observers_of_frame(
-        cur, pair_id_row, scene.pair_idx, scene.pair_ok,
+    obs_frame, obs_kp, obs_on = observers_of_frame(
+        cur, pair_rows, scene.pair_idx, scene.pair_ok,
         scene.match_ij, scene.valid_ij, scene.match_ji, scene.valid_ji,
-    )                                                   # [N, K]
-    obs_on = obs_on & scene.pose_valid[:, None] & scene.kp_mask[cur][None, :]
+    )                                                   # [D], [D, K]
+    obs_on = (obs_on & scene.pose_valid[obs_frame][:, None]
+              & scene.kp_mask[cur][None, :])
     if pair_only:
-        obs_on = obs_on & (
-            jnp.arange(N, dtype=prev.dtype)[:, None] == prev
-        )
-    nb_lm = scene.kp2lm[jnp.arange(N, dtype=jnp.int32)[:, None], obs_kp]
+        obs_on = obs_on & (obs_frame[:, None] == prev)
+    nb_lm = scene.kp2lm[obs_frame[:, None], obs_kp]
     has = obs_on & (nb_lm >= 0) & scene.lm_valid[jnp.maximum(nb_lm, 0)]
 
     src = jnp.argmax(has, axis=0)                       # first neighbor with a landmark
@@ -440,7 +439,7 @@ def run_sfm(
         keypoints, kp_mask, pair_idx, pair_ok, m_ij, v_ij, m_ji, v_ji,
         jnp.asarray(intr), lm_capacity=opt.lm_capacity,
     )
-    pid_tbl = jnp.asarray(pair_id_table(pair_idx, N))
+    fp_tbl = jnp.asarray(frame_pair_table(pair_idx, N))
     n_edges = int(jnp.sum(pair_ok))
     span = np.asarray(jnp.abs(pair_idx[:, 1] - pair_idx[:, 0]))
     ok_np = np.asarray(pair_ok)
@@ -503,7 +502,7 @@ def run_sfm(
                 return s
 
         scene, excluded, n_reg = registration_sweep(
-            scene, excluded, pid_tbl, k_sweep,
+            scene, excluded, fp_tbl, k_sweep,
             opt.max_repr_error, opt.min_tri_angle,
             min_pnp_inliers=opt.min_pnp_inliers,
             min_ba_landmarks=opt.min_ba_landmarks,
@@ -592,7 +591,7 @@ def run_sfm(
             if np.isfinite(err1) and err1 < 0.7 * err0:
                 scene = scene._replace(pose=pose_pg)
                 scene = rebuild_map(
-                    scene, pid_tbl, opt.max_repr_error, opt.min_tri_angle,
+                    scene, fp_tbl, opt.max_repr_error, opt.min_tri_angle,
                     max_observers=opt.max_observers,
                     segment=opt.sweep_segment or 128,
                 )
@@ -616,7 +615,7 @@ def run_sfm(
         prev_i, cur_i = int(prev), int(cur)
         key, k_pnp = jax.random.split(key)
         T, n_inl = pnp_register(
-            scene, prev, cur, pid_tbl[cur_i], k_pnp,
+            scene, prev, cur, fp_tbl[cur_i], k_pnp,
             threshold=4.0, n_hyp=opt.ransac_hyps_pnp,
             pair_only=opt.pnp_pair_only,
         )
@@ -629,14 +628,14 @@ def run_sfm(
             pose_valid=scene.pose_valid.at[cur_i].set(True),
         )
         scene, n_merged, n_new = triangulate_frame(
-            scene, cur, pid_tbl[cur_i], min_obs_2,
+            scene, cur, fp_tbl[cur_i], min_obs_2,
             opt.max_repr_error, opt.min_tri_angle,
             max_observers=opt.max_observers,
         )
         nb = local_neighbors(scene, cur)
         scene, info = _ba(scene, nb, refine_cfg, opt.min_ba_landmarks)
         scene, n_merged3, n_new3 = triangulate_frame(
-            scene, cur, pid_tbl[cur_i], min_obs_3,
+            scene, cur, fp_tbl[cur_i], min_obs_3,
             opt.max_repr_error, opt.min_tri_angle,
             max_observers=opt.max_observers,
         )
@@ -683,7 +682,7 @@ def resume_sfm(
 
     from eacham_tpu.sfm.device_loop import registration_sweep
 
-    pid_tbl = jnp.asarray(pair_id_table(scene.pair_idx, N))
+    fp_tbl = jnp.asarray(frame_pair_table(scene.pair_idx, N))
     refine_cfg = BAConfig(
         max_iters=min(opt.refine_max_iters, opt.local_ba_max_iters),
         tolerance=max(opt.refine_tolerance, opt.local_ba_tolerance),
@@ -699,7 +698,7 @@ def resume_sfm(
     )
     key = jax.random.PRNGKey(opt.seed + 1)
     scene, excluded, n_reg = registration_sweep(
-        scene, excluded, pid_tbl, key,
+        scene, excluded, fp_tbl, key,
         opt.max_repr_error, opt.min_tri_angle,
         min_pnp_inliers=opt.min_pnp_inliers,
         min_ba_landmarks=opt.min_ba_landmarks,

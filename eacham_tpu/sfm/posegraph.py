@@ -547,7 +547,7 @@ def centers_of(T: np.ndarray) -> np.ndarray:
 
 def rebuild_map(
     scene: Scene,
-    pid_tbl: jnp.ndarray,
+    fp_tbl: jnp.ndarray,   # [N, D] frame_pair_table
     max_repr_error: float,
     min_tri_angle: float,
     max_observers: int = 12,
@@ -574,7 +574,7 @@ def rebuild_map(
         def body(f, s):
             fi = jnp.int32(f)
             s, _, _ = triangulate_frame(
-                s, fi, pid_tbl[f], jnp.int32(2), max_repr_error,
+                s, fi, fp_tbl[f], jnp.int32(2), max_repr_error,
                 min_tri_angle, max_observers=max_observers,
             )
             return s

@@ -118,6 +118,38 @@ def pair_id_table(pair_idx: np.ndarray, n_frames: int) -> np.ndarray:
     return tbl
 
 
+def frame_pair_table(pair_idx: np.ndarray, n_frames: int,
+                     bucket: int = 8, d_min: int = 16) -> np.ndarray:
+    """Host-side degree-compacted adjacency: [N, D] pair rows touching each
+    frame (-1 padded), neighbors in ASCENDING frame order so first-True
+    selections match the old dense [N, K] observer-table semantics exactly.
+
+    D is the max frame degree rounded up to ``bucket`` (≥ ``d_min``): the
+    per-registration observer tables become [D, K] instead of [N, K] —
+    with windowed candidate pairs D is O(window + ladder + retrieval),
+    independent of N, which is what keeps the sweep's per-frame cost flat
+    on reference-scale sequences (BASELINE.md: KITTI seq 00, N≈4500)."""
+    pi = np.asarray(pair_idx)
+    row_ids = np.arange(pi.shape[0], dtype=np.int32)
+    keep = pi[:, 0] != pi[:, 1]     # drop (0, 0) bucket-padding dummy rows
+    pi, row_ids = pi[keep], row_ids[keep]
+    deg = np.zeros((n_frames,), np.int64)
+    np.add.at(deg, pi[:, 0], 1)
+    np.add.at(deg, pi[:, 1], 1)
+    D = max(d_min, int(deg.max()) if deg.size else 0)
+    D = ((D + bucket - 1) // bucket) * bucket
+    tbl = np.full((n_frames, D), -1, np.int32)
+    # rows sorted by (frame, neighbor): emit both directions then sort
+    frames = np.concatenate([pi[:, 0], pi[:, 1]])
+    nbrs = np.concatenate([pi[:, 1], pi[:, 0]])
+    rows = np.concatenate([row_ids, row_ids])
+    order = np.lexsort((nbrs, frames))
+    frames, rows = frames[order], rows[order]
+    slot = np.arange(len(frames)) - np.searchsorted(frames, frames)
+    tbl[frames, slot] = rows
+    return tbl
+
+
 def lm_observer_counts(scene: Scene) -> jnp.ndarray:
     """[L] observer count per landmark, from registered frames only.
 

@@ -15,9 +15,11 @@ TPU-native equivalent of ``TriangulateFrame``
     overwriting stale links (cpp:280-294)
 
 Everything is one jitted pass over the [K] keypoints of the frame: observer
-gathering is a dense [N, K] table, per-track observers are capped to a
-static ``max_observers`` (tracks are short in practice; the cap bounds the
-pair-enumeration tensor), and landmark allocation is a cumsum scatter.
+gathering is a degree-compacted [D, K] table (D = max candidate-pair degree,
+O(window) under windowed candidates — NOT O(N)), per-track observers are
+capped to a static ``max_observers`` (tracks are short in practice; the cap
+bounds the pair-enumeration tensor), and landmark allocation is a cumsum
+scatter.
 """
 
 from __future__ import annotations
@@ -37,7 +39,7 @@ from eacham_tpu.sfm.scene import Scene, alloc_landmarks, lm_observer_counts
 def triangulate_frame(
     scene: Scene,
     frame: jnp.ndarray,          # [] int32
-    pair_id_row: jnp.ndarray,    # [N] int32 — pair_id_table[frame]
+    pair_rows: jnp.ndarray,      # [D] int32 — frame_pair_table[frame]
     min_observers: jnp.ndarray,  # [] int32 (2 on first pass, 3 on second — main.cpp:203,209)
     max_repr_error: float,
     min_tri_angle: float,
@@ -45,19 +47,19 @@ def triangulate_frame(
 ):
     """Returns ``(scene, n_merged, n_new)``."""
     N, K = scene.kp_mask.shape
+    D = pair_rows.shape[0]
     L = scene.lm_capacity
 
-    obs_kp, obs_on = observers_of_frame(
-        frame, pair_id_row, scene.pair_idx, scene.pair_ok,
+    obs_frame, obs_kp, obs_on = observers_of_frame(
+        frame, pair_rows, scene.pair_idx, scene.pair_ok,
         scene.match_ij, scene.valid_ij, scene.match_ji, scene.valid_ji,
-    )                                                    # [N, K]
-    obs_on = obs_on & scene.pose_valid[:, None] & scene.kp_mask[frame][None, :]
+    )                                                    # [D], [D, K]
+    obs_on = (obs_on & scene.pose_valid[obs_frame][:, None]
+              & scene.kp_mask[frame][None, :])
 
     # ---- merge into existing landmarks (cpp:216-235) -------------------------
     counts = lm_observer_counts(scene)                   # [L]
-    nb_lm = scene.kp2lm[
-        jnp.arange(N, dtype=jnp.int32)[:, None], obs_kp
-    ]                                                    # [N, K] landmark of the matched neighbor kp
+    nb_lm = scene.kp2lm[obs_frame[:, None], obs_kp]      # [D, K] landmark of the matched neighbor kp
     nb_lm_safe = jnp.maximum(nb_lm, 0)
     cand = (
         obs_on
@@ -70,23 +72,24 @@ def triangulate_frame(
     err = jnp.linalg.norm(uv_proj - scene.keypoints[frame][None, :, :], axis=-1)
     cand = cand & (z > 0.0) & (err < max_repr_error)
 
-    # first qualifying neighbor per keypoint wins (argmax over bool is first-True)
+    # first qualifying neighbor per keypoint wins (argmax over bool is
+    # first-True; neighbor slots are in ascending frame order)
     merge_src = jnp.argmax(cand, axis=0)                 # [K]
     merge_ok = jnp.any(cand, axis=0)
     merge_lm = nb_lm_safe[merge_src, jnp.arange(K)]
 
     # ---- build tracks for the rest (cpp:238-263) ------------------------------
-    track_on = obs_on.T                                  # [K, N] slot per frame
+    track_on = obs_on.T                                  # [K, D] slot per neighbor
     track_kp = obs_kp.T
     # the new frame itself observes the track
     self_col = jnp.arange(K, dtype=jnp.int32)
     track_on_full = jnp.concatenate(
         [track_on, scene.kp_mask[frame][:, None]], axis=1
-    )                                                    # [K, N+1]
+    )                                                    # [K, D+1]
     track_kp_full = jnp.concatenate([track_kp, self_col[:, None]], axis=1)
     track_frame_full = jnp.concatenate(
         [
-            jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (K, N)),
+            jnp.broadcast_to(obs_frame[None, :], (K, D)),
             jnp.broadcast_to(frame, (K, 1)).astype(jnp.int32),
         ],
         axis=1,
@@ -97,7 +100,7 @@ def triangulate_frame(
 
     # cap observers per track to a static budget (first-valid-first; ties in
     # top_k resolve to lower index, so earlier frames win)
-    v_cap = min(max_observers, N + 1)
+    v_cap = min(max_observers, D + 1)
     sel_val, sel_idx = jax.lax.top_k(track_on_full.astype(jnp.int32), v_cap)
     take = jnp.take_along_axis
     sel_on = take(track_on_full, sel_idx, 1) & (sel_val > 0)

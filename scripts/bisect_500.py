@@ -68,7 +68,7 @@ def main():
         local_neighbors,
     )
     from eacham_tpu.sfm.scene import (
-        make_scene, pair_id_table, ba_problem_windowed,
+        make_scene, frame_pair_table, ba_problem_windowed,
     )
     from eacham_tpu.sfm.triangulate import triangulate_frame
     from eacham_tpu.sfm.twoview import find_best_pair
@@ -84,7 +84,7 @@ def main():
         desc, mask, min_matches=25, ratio=0.85, chunk=32, pair_idx=cand)
     scene = make_scene(xy, mask, pair_idx, pair_ok, m_ij, v_ij, m_ji, v_ji,
                        jnp.asarray(intr), lm_capacity=int(os.environ.get("BISECT_LMCAP", 65536)))
-    pid = jnp.asarray(pair_id_table(np.asarray(pair_idx), N))
+    pid = jnp.asarray(frame_pair_table(np.asarray(pair_idx), N))
     print(f"match+scene {time.perf_counter() - t0:.0f}s "
           f"({int(pair_ok.sum())} edges)", flush=True)
 

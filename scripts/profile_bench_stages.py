@@ -25,7 +25,7 @@ def main():
     from eacham_tpu.geometry.camera import intrinsics_from_image_size
     from eacham_tpu.sfm import SfmOptions
     from eacham_tpu.sfm.matches import build_match_tables
-    from eacham_tpu.sfm.scene import make_scene, pair_id_table
+    from eacham_tpu.sfm.scene import make_scene, frame_pair_table
     from eacham_tpu.sfm.twoview import find_best_pair
     from eacham_tpu.sfm.pipeline import (
         rank_init_pairs, seed_initial_pair, _ba,
@@ -89,7 +89,7 @@ def main():
 
     scene = make_scene(xy, mask, pair_idx, pair_ok, m_ij, v_ij, m_ji, v_ji,
                        intr_j, lm_capacity=opt.lm_capacity)
-    pid_tbl = jnp.asarray(pair_id_table(pair_idx, N))
+    pid_tbl = jnp.asarray(frame_pair_table(pair_idx, N))
 
     sc = stage("rank_init_pairs", lambda: rank_init_pairs(scene, float(max(W, H))))
     score_np = np.asarray(sc)

@@ -28,7 +28,7 @@ def main():
     from eacham_tpu.sfm.matches import build_match_tables
     from eacham_tpu.sfm.pipeline import rank_init_pairs, seed_initial_pair
     from eacham_tpu.sfm.scene import (
-        make_scene, pair_id_table, ba_problem_from_scene,
+        make_scene, frame_pair_table, ba_problem_from_scene,
     )
     from eacham_tpu.sfm.twoview import _eval_pairs
 
@@ -67,7 +67,7 @@ def main():
     intr = jnp.asarray([600.0, 600.0, 256.0, 192.0])
     scene = make_scene(kps, mask, pair_idx, pair_ok, m_ij, v_ij, m_ji, v_ji,
                        intr, lm_capacity=16384)
-    pid = jnp.asarray(pair_id_table(pair_idx, N))
+    pid = jnp.asarray(frame_pair_table(pair_idx, N))
 
     clock("rank_init_pairs (compile)", lambda: rank_init_pairs.lower(
         scene, 512.0).compile())

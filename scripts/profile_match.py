@@ -20,7 +20,7 @@ def main():
         build_match_tables, candidate_pairs, invert_matches,
     )
     from eacham_tpu.features.matching import match_all_pairs
-    from eacham_tpu.sfm.scene import make_scene, pair_id_table
+    from eacham_tpu.sfm.scene import make_scene, frame_pair_table
     from eacham_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -59,7 +59,7 @@ def main():
     clock("make_scene", lambda: make_scene(
         xy, mask, cand, pair_ok, m_ij, v_ij, m_ji, v_ji, intr,
         lm_capacity=65536))
-    clock("pair_id_table (host)", lambda: pair_id_table(np.asarray(cand), n))
+    clock("frame_pair_table (host)", lambda: frame_pair_table(np.asarray(cand), n))
 
 
 if __name__ == "__main__":

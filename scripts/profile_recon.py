@@ -16,7 +16,7 @@ def sync(x):
 def main():
     from eacham_tpu.sfm import SfmOptions
     from eacham_tpu.sfm.matches import build_match_tables
-    from eacham_tpu.sfm.scene import make_scene, pair_id_table
+    from eacham_tpu.sfm.scene import make_scene, frame_pair_table
     from eacham_tpu.sfm.twoview import find_best_pair
     from eacham_tpu.sfm.pipeline import seed_initial_pair, _ba
     from eacham_tpu.sfm.device_loop import registration_sweep
@@ -67,7 +67,7 @@ def main():
     )
     scene = make_scene(kps, msk, pi, ok, mij, vij, mji, vji,
                        jnp.asarray(intr), lm_capacity=opt.lm_capacity)
-    pid = jnp.asarray(pair_id_table(pi, n_frames))
+    pid = jnp.asarray(frame_pair_table(pi, n_frames))
     order = np.argsort(-np.asarray(jnp.sum(vij, axis=1)))
     order = order[np.asarray(ok)[order]]
     key = jax.random.PRNGKey(0)

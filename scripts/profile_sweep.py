@@ -11,7 +11,7 @@ import jax.numpy as jnp
 def main():
     from eacham_tpu.sfm import SfmOptions
     from eacham_tpu.sfm.matches import build_match_tables
-    from eacham_tpu.sfm.scene import make_scene, pair_id_table
+    from eacham_tpu.sfm.scene import make_scene, frame_pair_table
     from eacham_tpu.sfm.twoview import find_best_pair
     from eacham_tpu.sfm.pipeline import seed_initial_pair
     from eacham_tpu.sfm.device_loop import registration_sweep
@@ -45,7 +45,7 @@ def main():
     kps, dsc, msk = jnp.asarray(uv), jnp.asarray(desc), jnp.asarray(mask)
     tbl = build_match_tables(dsc, msk, ratio=0.8, min_matches=20)
     scene0 = make_scene(kps, msk, *tbl, jnp.asarray(intr), lm_capacity=8192)
-    pid = jnp.asarray(pair_id_table(tbl[0], n_frames))
+    pid = jnp.asarray(frame_pair_table(tbl[0], n_frames))
     order = np.argsort(-np.asarray(jnp.sum(tbl[3], axis=1)))
     order = order[np.asarray(tbl[1])[order]]
     key = jax.random.PRNGKey(0)

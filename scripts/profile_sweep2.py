@@ -24,7 +24,7 @@ def main():
     from eacham_tpu.features.frontend import extract_features
     from eacham_tpu.sfm import SfmOptions
     from eacham_tpu.sfm.matches import build_match_tables
-    from eacham_tpu.sfm.scene import make_scene, pair_id_table
+    from eacham_tpu.sfm.scene import make_scene, frame_pair_table
     from eacham_tpu.sfm.twoview import find_best_pair
     from eacham_tpu.sfm.pipeline import rank_init_pairs, seed_initial_pair
     from eacham_tpu.sfm.device_loop import registration_sweep
@@ -53,7 +53,7 @@ def main():
         chunk=opt.match_chunk, verify=verify)
     scene = make_scene(xy, mask, pair_idx, pair_ok, m_ij, v_ij, m_ji, v_ji,
                        intr_j, lm_capacity=opt.lm_capacity)
-    pid_tbl = jnp.asarray(pair_id_table(pair_idx, N))
+    pid_tbl = jnp.asarray(frame_pair_table(pair_idx, N))
 
     sc = np.asarray(rank_init_pairs(scene, float(max(W, H))))
     order = np.argsort(-sc)

@@ -32,7 +32,7 @@ def main():
     from eacham_tpu.sfm.device_loop import registration_sweep_step
     from eacham_tpu.sfm.matches import build_match_tables, candidate_pairs
     from eacham_tpu.sfm.pipeline import rank_init_pairs, seed_initial_pair
-    from eacham_tpu.sfm.scene import make_scene, pair_id_table
+    from eacham_tpu.sfm.scene import make_scene, frame_pair_table
     from eacham_tpu.sfm.twoview import find_best_pair
 
     d = np.load(CACHE)
@@ -65,7 +65,7 @@ def main():
     pair_idx, pair_ok, m_ij, v_ij, m_ji, v_ji = tables
     scene0 = make_scene(xy, mask, pair_idx, pair_ok, m_ij, v_ij, m_ji, v_ji,
                         intr, lm_capacity=opt.lm_capacity)
-    pid_tbl = jnp.asarray(pair_id_table(pair_idx, N))
+    pid_tbl = jnp.asarray(frame_pair_table(pair_idx, N))
 
     score = np.asarray(rank_init_pairs(scene0, float(max(W, H))))
     order = np.argsort(-score)

@@ -8,7 +8,9 @@ from eacham_tpu.sfm.matches import (
     all_pairs_index, invert_matches, observers_of_frame,
 )
 from eacham_tpu.sfm.pipeline import next_best_view, rank_init_pairs
-from eacham_tpu.sfm.scene import make_scene, pair_id_table, alloc_landmarks
+from eacham_tpu.sfm.scene import (
+    make_scene, frame_pair_table, alloc_landmarks,
+)
 
 
 def _scene_with_matches(rng, N=4, K=8):
@@ -46,17 +48,21 @@ def test_invert_matches(rng):
 def test_observers_of_frame(rng):
     scene, pair_idx = _scene_with_matches(rng)
     N = 4
-    tbl = jnp.asarray(pair_id_table(pair_idx, N))
-    obs_kp, obs_on = observers_of_frame(
+    tbl = jnp.asarray(frame_pair_table(pair_idx, N))
+    obs_frame, obs_kp, obs_on = observers_of_frame(
         jnp.int32(2), tbl[2], scene.pair_idx, scene.pair_ok,
         scene.match_ij, scene.valid_ij, scene.match_ji, scene.valid_ji,
     )
-    # identity matching: frame v observes kp k of frame 2 at its own kp k
-    for v in range(N):
-        if v == 2:
-            continue
-        assert np.array_equal(np.asarray(obs_kp[v]), np.arange(8))
-        assert np.asarray(obs_on[v]).all()
+    # identity matching: every neighbor observes kp k of frame 2 at its
+    # own kp k; neighbor slots list frames in ascending order
+    on = np.asarray(obs_on)
+    frames = np.asarray(obs_frame)[on.any(axis=1)]
+    assert sorted(frames.tolist()) == [v for v in range(N) if v != 2]
+    assert np.array_equal(frames, np.sort(frames))
+    for d in range(len(np.asarray(obs_frame))):
+        if on[d].any():
+            assert np.array_equal(np.asarray(obs_kp[d]), np.arange(8))
+            assert on[d].all()
 
 
 def test_next_best_view_prefers_landmark_rich_edges(rng):
