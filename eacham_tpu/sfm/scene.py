@@ -285,7 +285,7 @@ def ba_problem_windowed(
     N, K = scene.kp_mask.shape
     L = scene.lm_capacity
     max_cams = min(max_cams, N)
-    max_obs = min(max_obs, N * K)
+    max_obs = min(max_obs, max_cams * K)   # a C-cam window holds <= C*K obs
     counts = lm_observer_counts(scene)
 
     # key: 2 for the just-registered frame, 1 for neighbors — guarantees the
@@ -299,32 +299,38 @@ def ba_problem_windowed(
     sel_val, cam_list = jax.lax.top_k(sel_key, max_cams)
     cam_on = sel_val > 0
     C = max_cams
-    remap = jnp.full((N,), -1, jnp.int32).at[cam_list].max(
-        jnp.where(cam_on, jnp.arange(C, dtype=jnp.int32), -1)
-    )
 
-    lm = scene.kp2lm.reshape(-1)
-    frame = jnp.repeat(jnp.arange(N, dtype=jnp.int32), K)
-    lm_ok = scene.lm_valid[jnp.maximum(lm, 0)] & (
-        counts[jnp.maximum(lm, 0)] >= min_observers
-    )
+    # gather ONLY the window rows [C, K]: observation discovery over the
+    # full N*K table made every local-BA build pay O(scene) instead of
+    # O(window) — the dominant per-registration cost at N=500
+    lm = scene.kp2lm[cam_list].reshape(-1)               # [C*K]
+    lm0 = jnp.maximum(lm, 0)
+    lm_ok = scene.lm_valid[lm0] & (counts[lm0] >= min_observers)
     in_window = (
-        (remap[frame] >= 0)
-        & (lm >= 0)
-        & scene.kp_mask.reshape(-1)
+        (lm >= 0)
+        & (scene.kp_mask[cam_list] & cam_on[:, None]).reshape(-1)
         & lm_ok
     )
-    pick, o_mask, _ = _compact_mask(in_window, max_obs)
-    obs_cam = jnp.maximum(remap[frame[pick]], 0)
-    obs_pt = jnp.where(o_mask, lm[pick], 0)
-    obs_uv = scene.keypoints.reshape(-1, 2)[pick]
+    if max_obs >= C * K:
+        # the obs axis IS the window table — no compaction pass at all
+        obs_cam = jnp.repeat(jnp.arange(C, dtype=jnp.int32), K)
+        obs_pt = jnp.where(in_window, lm, 0)
+        obs_uv = scene.keypoints[cam_list].reshape(-1, 2)
+        o_mask = in_window
+    else:
+        pick, o_mask, _ = _compact_mask(in_window, max_obs)
+        obs_cam = (pick // K).astype(jnp.int32)
+        obs_pt = jnp.where(o_mask, lm[pick], 0)
+        obs_uv = scene.keypoints[cam_list].reshape(-1, 2)[pick]
 
     seen = jnp.zeros((L + 1,), bool).at[
         jnp.where(o_mask, obs_pt, L)
     ].set(True)[:-1]
     pt_in_ba = scene.lm_valid & (counts >= min_observers) & seen
 
-    # --- landmark compaction ------------------------------------------------
+    # --- landmark compaction (O(L) cumsum; a sort-unique over the window's
+    # own [max_obs] ids was tried and measured SLOWER on TPU: sort +
+    # searchsorted cost ~2x the [L]-axis scatter/cumsum pass) -------------
     max_lms = min(max_obs, L) if max_lms is None else min(max_lms, L)
     lm_list, lm_on, lm_remap = _compact_mask(pt_in_ba, max_lms)
     obs_pt_w = lm_remap[obs_pt]
