@@ -738,18 +738,17 @@ def _finalize(scene, excluded, opt: SfmOptions, global_cfg, i0, j0, N, log,
             from eacham_tpu.sfm.filtering import prune_observations
 
             scene, n_obs, n_lm = prune_observations(scene, opt.max_repr_error)
-            # the second BA pays off in two cases: the post-BA prune
-            # actually changed the problem (>=0.1% of observations
-            # removed), or BA 1 ran out of its iteration budget with the
-            # cost still falling (then BA 2 is a second budget of useful
-            # iterations — measured on the 500-frame stress: skipping it
-            # there cost ATE 1.05 -> 1.16). Only when neither holds is it
-            # a full-price no-op worth skipping.
+            # the second BA only pays off when the post-BA prune actually
+            # changed the problem (>=0.1% of observations removed). A
+            # BA1-hit-its-iteration-cap trigger was tried and reverted:
+            # on the 500-frame stress the extra budget moved the cost
+            # 91030 -> 90287 with ATE unchanged (1.16 both ways — the
+            # suspected regression was the fp16 feature cache), while at
+            # bench scale it cost a full extra global BA every run.
             total_obs = int(jnp.sum(
                 (scene.kp2lm >= 0) & scene.kp_mask & scene.pose_valid[:, None]
             ))
-            ba1_capped = int(info["iterations"]) >= global_cfg.max_iters
-            if ba1_capped or int(n_obs) >= max(8, total_obs // 1000):
+            if int(n_obs) >= max(8, total_obs // 1000):
                 scene, info2 = _ba(
                     scene, scene.pose_valid, global_cfg,
                     opt.min_ba_landmarks, mesh=mesh,
