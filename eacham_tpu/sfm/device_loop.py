@@ -32,7 +32,7 @@ from eacham_tpu.sfm.triangulate import triangulate_frame
     static_argnames=(
         "min_pnp_inliers", "min_ba_landmarks", "ba_cfg", "max_observers",
         "n_hyp_pnp", "pnp_pair_only", "ba_max_cams", "ba_max_obs",
-        "max_steps", "ba_every",
+        "ba_max_lms", "max_steps", "ba_every",
     ),
 )
 def registration_sweep_step(
@@ -50,6 +50,7 @@ def registration_sweep_step(
     pnp_pair_only: bool = False,
     ba_max_cams: int = 16,
     ba_max_obs: int = 16384,
+    ba_max_lms: int | None = None,
     max_steps: int | None = None,
     ba_every: int = 1,
 ):
@@ -83,6 +84,7 @@ def registration_sweep_step(
         # iteration cheap (and dense-Schur-eligible) at any scene size
         prob, cam_list, cam_on, lm_list, lm_on = ba_problem_windowed(
             scene, nb, max_cams=ba_max_cams, max_obs=ba_max_obs, cur=cur,
+            max_lms=ba_max_lms,
         )
         n_lm = jnp.sum(prob.pt_in_ba)
 

@@ -78,6 +78,16 @@ class SfmOptions:
     local_ba_tolerance: float = 3e-4
     local_ba_max_cams: int = 16
     local_ba_max_obs: int = 16384
+    # landmark-axis budget of the windowed local BA: the dense-Schur W
+    # blocks are [max_lms, C, 6, 3] (tiled ~7x on TPU), so every LM
+    # iteration pays for this axis. Mid-sweep windows on the 500-frame
+    # stress hold 2300-2700 distinct landmarks at ~11.5k observations;
+    # 8192 keeps 3x headroom and cuts the sweep step 100 -> 87 ms/frame
+    # vs the max_obs default (4096 reached 77 ms/frame but its overflow
+    # in late, denser windows cost ATE 1.04 -> 1.13 on the stress —
+    # overflow drops the highest-id landmarks' observations from that
+    # window only; interim/global BA still refines them).
+    local_ba_max_lms: int = 8192
     # run the per-frame local BA only on every M-th registration (1 = all):
     # it is ~80% of the sweep's wall time; skipped frames are refined by
     # the next overlapping window and the interim/global BA
@@ -131,6 +141,11 @@ class SfmOptions:
     # space first (no reference counterpart — it has no loop handling).
     loop_close: bool = True
     pgo_iters: int = 12
+    # skip the pose-graph solve entirely when the sweep's loop-edge
+    # consistency is already this close to the ~5 deg PnP-direction
+    # measurement noise floor (the accept case it exists for measured
+    # 83 deg; rejected cases measured 2.6-6.7 deg)
+    pgo_min_consistency_deg: float = 8.0
     # outlier-observation pruning around global BA (deviation from the
     # reference, which never prunes — strictly improves robustness)
     prune_outliers: bool = True
@@ -516,6 +531,7 @@ def run_sfm(
             # and the local-BA cost is linear in it (obs AND landmark axes)
             ba_max_obs=min(opt.local_ba_max_obs,
                            min(opt.local_ba_max_cams, N) * keypoints.shape[1]),
+            ba_max_lms=opt.local_ba_max_lms,
             ba_every=opt.local_ba_every,
             segment=opt.sweep_segment,
             on_segment=on_segment,
@@ -530,10 +546,6 @@ def run_sfm(
             )
 
             key, k_pg = jax.random.split(key)
-            T_meas, w_meas = edge_measurements(
-                scene.keypoints, pair_idx, pair_ok, m_ij, v_ij,
-                scene.intr, k_pg, px_threshold=opt.max_repr_error,
-            )
             # metric measurements for EVERY non-window edge (ladder rungs,
             # retrieval hits, true loop closures): PnP of the later frame
             # against the earlier frame's local map (scale-correct,
@@ -553,54 +565,72 @@ def run_sfm(
                 loop_rows, k_lp, px_threshold=opt.max_repr_error,
                 n_hyp=opt.ransac_hyps_pnp,
             )
-            import os as _os
-            dump = _os.environ.get("EACHAM_PGO_DUMP")
-            if dump:
-                np.savez(dump, pose_before=np.asarray(scene.pose),
-                         pose_valid=np.asarray(scene.pose_valid),
-                         pose_fixed=np.asarray(scene.pose_fixed),
-                         pair_idx=np.asarray(pair_idx),
-                         T_meas=np.asarray(T_meas),
-                         w_meas=np.asarray(w_meas),
-                         loop_rows=np.asarray(loop_rows),
-                         T_loop=np.asarray(T_loop),
-                         w_loop=np.asarray(w_loop),
-                         points=np.asarray(scene.points),
-                         lm_valid=np.asarray(scene.lm_valid),
-                         kp2lm=np.asarray(scene.kp2lm),
-                         keypoints=np.asarray(scene.keypoints),
-                         loop_match=np.asarray(m_ij[loop_rows_np]),
-                         loop_vmask=np.asarray(v_ij[loop_rows_np]),
-                         intr=np.asarray(scene.intr))
-            pose_pg = optimize_pose_graph(
-                scene.pose, scene.pose_valid, scene.pose_fixed,
-                pair_idx, T_meas, w_meas, iters=opt.pgo_iters,
-                loop_rows=loop_rows, T_loop=T_loop, w_loop=w_loop,
-            )
             err0 = loop_consistency(scene.pose, pair_idx, loop_rows,
                                     T_loop, w_loop)
-            err1 = loop_consistency(pose_pg, pair_idx, loop_rows,
-                                    T_loop, w_loop)
-            # substantial-improvement gate: the PGO exists to repair
-            # CATASTROPHIC drift (measured accept case: 83 -> 4.4 deg).
-            # When the sweep already sits near the measurement noise floor
-            # (~5 deg of PnP direction noise), a marginal residual gain
-            # means the solve wandered within the soft modes the
-            # measurements cannot pin — applying it traded ATE 1.10 for
-            # 5.81 on the N=500 orbit while "improving" 6.7 -> 5.4 deg.
-            if np.isfinite(err1) and err1 < 0.7 * err0:
-                scene = scene._replace(pose=pose_pg)
-                scene = rebuild_map(
-                    scene, fp_tbl, opt.max_repr_error, opt.min_tri_angle,
-                    max_observers=opt.max_observers,
-                    segment=opt.sweep_segment or 128,
-                )
-                log(f"pose graph: {n_far} loop edges closed "
-                    f"(consistency {err0:.2f} -> {err1:.2f} deg), map "
-                    f"rebuilt ({int(jnp.sum(scene.lm_valid))} landmarks)")
+            # PRE-gate on the sweep's own loop consistency: the PGO exists
+            # to repair CATASTROPHIC drift (measured accept case:
+            # 83 -> 4.4 deg). At the ~5 deg PnP-direction noise floor
+            # there is nothing for it to fix, and the per-edge E-RANSAC
+            # measurements + LM solve it would run cost ~30% of a
+            # 500-frame reconstruction only to be rejected by the
+            # post-solve gate below.
+            if not np.isfinite(err0) or err0 <= opt.pgo_min_consistency_deg:
+                log(f"pose graph skipped (loop consistency {err0:.2f} deg "
+                    f"is at the measurement noise floor)")
             else:
-                log(f"pose graph: correction rejected (loop consistency "
-                    f"{err0:.2f} -> {err1:.2f} deg), keeping sweep poses")
+                T_meas, w_meas = edge_measurements(
+                    scene.keypoints, pair_idx, pair_ok, m_ij, v_ij,
+                    scene.intr, k_pg, px_threshold=opt.max_repr_error,
+                )
+                import os as _os
+                dump = _os.environ.get("EACHAM_PGO_DUMP")
+                if dump:
+                    np.savez(dump, pose_before=np.asarray(scene.pose),
+                             pose_valid=np.asarray(scene.pose_valid),
+                             pose_fixed=np.asarray(scene.pose_fixed),
+                             pair_idx=np.asarray(pair_idx),
+                             T_meas=np.asarray(T_meas),
+                             w_meas=np.asarray(w_meas),
+                             loop_rows=np.asarray(loop_rows),
+                             T_loop=np.asarray(T_loop),
+                             w_loop=np.asarray(w_loop),
+                             points=np.asarray(scene.points),
+                             lm_valid=np.asarray(scene.lm_valid),
+                             kp2lm=np.asarray(scene.kp2lm),
+                             keypoints=np.asarray(scene.keypoints),
+                             loop_match=np.asarray(m_ij[loop_rows_np]),
+                             loop_vmask=np.asarray(v_ij[loop_rows_np]),
+                             intr=np.asarray(scene.intr))
+                pose_pg = optimize_pose_graph(
+                    scene.pose, scene.pose_valid, scene.pose_fixed,
+                    pair_idx, T_meas, w_meas, iters=opt.pgo_iters,
+                    loop_rows=loop_rows, T_loop=T_loop, w_loop=w_loop,
+                )
+                err1 = loop_consistency(pose_pg, pair_idx, loop_rows,
+                                        T_loop, w_loop)
+                # substantial-improvement gate: a marginal residual gain
+                # near the noise floor means the solve wandered within the
+                # soft modes the measurements cannot pin — applying it
+                # traded ATE 1.10 for 5.81 on the N=500 orbit while
+                # "improving" 6.7 -> 5.4 deg, and 5.9 -> 2.9 for 1.0 ->
+                # 4.2. The genuine repair case measured 83 -> 4.4 (0.05x);
+                # demand at least a halving.
+                if np.isfinite(err1) and err1 < 0.5 * err0:
+                    scene = scene._replace(pose=pose_pg)
+                    scene = rebuild_map(
+                        scene, fp_tbl, opt.max_repr_error,
+                        opt.min_tri_angle,
+                        max_observers=opt.max_observers,
+                        segment=opt.sweep_segment or 128,
+                    )
+                    log(f"pose graph: {n_far} loop edges closed "
+                        f"(consistency {err0:.2f} -> {err1:.2f} deg), map "
+                        f"rebuilt ({int(jnp.sum(scene.lm_valid))} "
+                        f"landmarks)")
+                else:
+                    log(f"pose graph: correction rejected (loop "
+                        f"consistency {err0:.2f} -> {err1:.2f} deg), "
+                        f"keeping sweep poses")
 
         return _finalize(scene, excluded, opt, global_cfg, i0, j0, N, log,
                          mesh=mesh)
@@ -710,6 +740,7 @@ def resume_sfm(
         ba_max_obs=min(opt.local_ba_max_obs,
                        min(opt.local_ba_max_cams, N)
                        * scene.kp_mask.shape[1]),
+        ba_max_lms=opt.local_ba_max_lms,
         ba_every=opt.local_ba_every,
         segment=opt.sweep_segment,
     )

@@ -95,11 +95,26 @@ def main():
     variants = [
         ("full", base),
         ("no local BA", {**base, "min_ba_landmarks": 1 << 30}),
-        ("pnp_hyps=64", {**base, "n_hyp_pnp": 64}),
-        ("max_observers=6", {**base, "max_observers": 6}),
+        ("ba_max_lms=8192", {**base, "ba_max_lms": 8192}),
+        ("ba_max_lms=4096", {**base, "ba_max_lms": 4096}),
     ]
 
     key, k_sweep = jax.random.split(key)
+
+    # how full do mid-sweep windows actually get? (sizes the lm axis)
+    from eacham_tpu.sfm.pipeline import local_neighbors
+    from eacham_tpu.sfm.scene import ba_problem_windowed
+    probe, _, n_reg, _ = registration_sweep_step(
+        seeded, jnp.zeros((N,), bool), pid_tbl, k_sweep,
+        opt.max_repr_error, opt.min_tri_angle, **base)
+    for cur in (int(n_reg) // 2, int(n_reg) - 1):
+        nb = local_neighbors(probe, jnp.int32(cur))
+        prob = ba_problem_windowed(
+            probe, nb, max_cams=base["ba_max_cams"],
+            max_obs=base["ba_max_obs"], cur=jnp.int32(cur))[0]
+        print(f"window@{cur}: obs {int(jnp.sum(prob.obs_mask))}, "
+              f"lms {int(jnp.sum(prob.pt_in_ba))}", flush=True)
+
     for label, kw in variants:
         excl = jnp.zeros((N,), bool)
         t0 = time.perf_counter()

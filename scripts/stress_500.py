@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--max-observers", type=int, default=12)
     ap.add_argument("--retrieval-k", type=int, default=3)
     ap.add_argument("--loop-close", type=int, default=1)
+    ap.add_argument("--global-iters", type=int, default=40)
     ap.add_argument("--ba-every", type=int, default=1,
                     help="run the windowed local BA on every M-th "
                          "registration (SfmOptions.local_ba_every)")
@@ -113,7 +114,8 @@ def main():
         min_initial_inliers=80, min_matches=20, match_ratio=0.85,
         init_min_tri_angle_deg=0.8, min_tri_angle_deg=0.8,
         ransac_hyps_e=256, ransac_hyps_h=128, ransac_hyps_pnp=256,
-        lm_capacity=131072, refine_max_iters=30, global_max_iters=40,
+        lm_capacity=131072, refine_max_iters=30,
+        global_max_iters=args.global_iters,
         match_chunk=32, interim_ba_iters=args.interim,
         loop_close=bool(args.loop_close),
         local_ba_every=args.ba_every,
