@@ -149,6 +149,10 @@ class SfmOptions:
     # outlier-observation pruning around global BA (deviation from the
     # reference, which never prunes — strictly improves robustness)
     prune_outliers: bool = True
+    # post-BA map-refinement rounds (0 = off): rebuild all tracks under
+    # the BA-improved poses, prune, re-solve — re-forms the merges the
+    # drifted mid-sweep poses rejected (incl. loop crossings)
+    map_refine_rounds: int = 0
     seed: int = 0
 
     @property
@@ -633,7 +637,7 @@ def run_sfm(
                         f"keeping sweep poses")
 
         return _finalize(scene, excluded, opt, global_cfg, i0, j0, N, log,
-                         mesh=mesh)
+                         mesh=mesh, fp_tbl=fp_tbl)
 
     n_registered = 2
     min_obs_2 = jnp.int32(2)
@@ -681,7 +685,7 @@ def run_sfm(
         )
 
     return _finalize(scene, excluded, opt, global_cfg, i0, j0, N, log,
-                     mesh=mesh)
+                     mesh=mesh, fp_tbl=fp_tbl)
 
 
 def resume_sfm(
@@ -745,11 +749,12 @@ def resume_sfm(
         segment=opt.sweep_segment,
     )
     log(f"resume sweep: +{int(n_reg)} frames registered")
-    return _finalize(scene, excluded, opt, global_cfg, -1, -1, N, log)
+    return _finalize(scene, excluded, opt, global_cfg, -1, -1, N, log,
+                     fp_tbl=fp_tbl)
 
 
 def _finalize(scene, excluded, opt: SfmOptions, global_cfg, i0, j0, N, log,
-              mesh=None):
+              mesh=None, fp_tbl=None):
     """Global BA (main.cpp:227-231) + run statistics."""
     if opt.run_global_ba and opt.global_max_iters > 0:
         if opt.prune_outliers:
@@ -793,6 +798,30 @@ def _finalize(scene, excluded, opt: SfmOptions, global_cfg, i0, j0, N, log,
             else:
                 log(f"global BA 2 skipped (prune removed {int(n_obs)} obs "
                     f"of {total_obs})")
+
+        # optional map-refinement rounds: rebuild every frame's tracks
+        # under the BA-improved poses (links the drift previously forced
+        # apart — including loop-crossing merges the reprojection gate
+        # rejected mid-sweep), then prune + re-solve. Attacks the
+        # interior drift the fixed-map BA cannot observe.
+        for _ in range(opt.map_refine_rounds if fp_tbl is not None else 0):
+            from eacham_tpu.sfm.posegraph import rebuild_map
+            from eacham_tpu.sfm.filtering import prune_observations
+
+            scene = rebuild_map(
+                scene, fp_tbl, opt.max_repr_error, opt.min_tri_angle,
+                max_observers=opt.max_observers,
+                segment=opt.sweep_segment or 128,
+            )
+            scene, n_obs, n_lm = prune_observations(scene, opt.max_repr_error)
+            scene, info3 = _ba(scene, scene.pose_valid, global_cfg,
+                               opt.min_ba_landmarks, mesh=mesh)
+            if info3 is not None:
+                log(f"map refine: rebuilt "
+                    f"{int(jnp.sum(scene.lm_valid))} landmarks "
+                    f"(pruned {int(n_obs)} obs), BA "
+                    f"{float(info3['initial_cost']):.1f} -> "
+                    f"{float(info3['final_cost']):.1f}")
 
     stats = {
         "registered": int(jnp.sum(scene.pose_valid)),

@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--retrieval-k", type=int, default=3)
     ap.add_argument("--loop-close", type=int, default=1)
     ap.add_argument("--global-iters", type=int, default=40)
+    ap.add_argument("--refine-rounds", type=int, default=0)
     ap.add_argument("--ba-every", type=int, default=1,
                     help="run the windowed local BA on every M-th "
                          "registration (SfmOptions.local_ba_every)")
@@ -119,6 +120,7 @@ def main():
         match_chunk=32, interim_ba_iters=args.interim,
         loop_close=bool(args.loop_close),
         local_ba_every=args.ba_every,
+        map_refine_rounds=args.refine_rounds,
     )
 
     if cached is None:
