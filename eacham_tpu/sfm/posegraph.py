@@ -573,11 +573,19 @@ def rebuild_map(
     def span(scene, lo, hi, max_observers):
         def body(f, s):
             fi = jnp.int32(f)
-            s, _, _ = triangulate_frame(
-                s, fi, fp_tbl[f], jnp.int32(2), max_repr_error,
-                min_tri_angle, max_observers=max_observers,
-            )
-            return s
+
+            def tri(s):
+                s, _, _ = triangulate_frame(
+                    s, fi, fp_tbl[f], jnp.int32(2), max_repr_error,
+                    min_tri_angle, max_observers=max_observers,
+                )
+                return s
+
+            # unregistered frames carry an invalid pose; running the pass
+            # for them forces that pose in as a self-observer (rejecting
+            # good neighbor tracks) and can merge-link their keypoints
+            # under a garbage reprojection
+            return jax.lax.cond(s.pose_valid[fi], tri, lambda s: s, s)
 
         return jax.lax.fori_loop(lo, hi, body, scene)
 
