@@ -17,22 +17,33 @@ a no-op on the tunnel platform), and the run is correctness-gated: nearly
 all frames must register and the ATE vs ground truth must pass — a
 benchmark that reconstructs garbage quickly would be meaningless.
 
-Baseline: the reference publishes no numbers (BASELINE.md). The divisor
-used for ``vs_baseline`` is 1.0 frames/s — an estimate favorable to the
-reference (~100 frames in ~2 min of C++ SIFT + FLANN + GTSAM end-to-end
-on a desktop CPU, per the orders of magnitude of its own stage timers,
-main.cpp:150-152, 232-235). The driver's measured reference runs
-supersede this constant.
+Baseline: the reference publishes no numbers (BASELINE.md,
+BASELINE.json "published": {}), so no ratio is invented here.
+``vs_baseline`` is reported only when a MEASURED reference figure is
+provided — env var ``EACHAM_REFERENCE_FPS`` or a ``REFERENCE_FPS``
+file at the repo root containing the reference's frames/s on the same
+workload — and is null otherwise.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
+from pathlib import Path
 
 import numpy as np
 
-REFERENCE_FRAMES_PER_S = 1.0
+
+def reference_fps() -> float | None:
+    """Measured reference frames/s, if the driver provided one."""
+    v = os.environ.get("EACHAM_REFERENCE_FPS")
+    if v:
+        return float(v)
+    f = Path(__file__).parent / "REFERENCE_FPS"
+    if f.exists():
+        return float(f.read_text().strip())
+    return None
 
 N_FRAMES = 100
 WIDTH, HEIGHT = 512, 384
@@ -124,11 +135,12 @@ def main():
           f"extract {t_extract:.2f}s / total {total:.2f}s", flush=True)
 
     fps = N_FRAMES / total
+    ref = reference_fps()
     print(json.dumps({
         "metric": "sfm_frames_per_s",
         "value": round(fps, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps / REFERENCE_FRAMES_PER_S, 3),
+        "vs_baseline": round(fps / ref, 3) if ref else None,
     }))
 
 
