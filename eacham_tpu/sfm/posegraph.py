@@ -16,9 +16,13 @@ loops in POSE space, where two-view measurements are drift-independent:
      translation direction (batched over the pair axis, MXU-shaped like
      the matcher).
   2. ``optimize_pose_graph``: damped Gauss-Newton over all camera poses
-     minimizing rotation-log and translation-direction residuals. The
-     whole-residual Jacobian is materialized by autodiff (a few-thousand
-     parameter dense solve — trivial for the MXU; no sparse machinery).
+     minimizing rotation-log and translation-direction residuals. Both
+     stages solve block-sparse float64 normal equations on the HOST
+     (analytic 3x3 Jacobian blocks, vectorized COO assembly, sparse LU):
+     the measurement extraction is MXU work, but the graph solve is a
+     tiny, precision-critical sparse problem — fp32 rounding alone
+     perturbs the soft bending modes (measured), and dense assembly dies
+     at KITTI scale (N=4541: dense H ~2.6 GB, autodiff J ~7 GB).
   3. ``rebuild_map``: with drift-free poses, wipe the landmark table and
      re-run the per-frame merge/triangulation pass so loop links finally
      connect; the global BA then polishes everything.
@@ -157,6 +161,158 @@ def loop_pnp_measurements(
     return T, w
 
 
+def _log_so3_np(R: np.ndarray) -> np.ndarray:
+    """SO(3) log, batched, host float64 (gradient-free counterpart of
+    ``_log_so3`` for the sparse pose-graph solver)."""
+    trace = np.trace(R, axis1=-2, axis2=-1)
+    cos_t = np.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    theta = np.arccos(cos_t)
+    small = theta < 1e-6
+    s = np.where(small, 1.0, np.sin(theta))
+    k = np.where(small, 0.5 + theta * theta / 12.0, theta / (2.0 * s))
+    Rd = R - np.swapaxes(R, -1, -2)
+    return k[..., None] * np.stack(
+        [Rd[..., 2, 1], Rd[..., 0, 2], Rd[..., 1, 0]], axis=-1)
+
+
+def _exp_so3_np(w: np.ndarray) -> np.ndarray:
+    """SO(3) exp, batched, host float64."""
+    theta = np.linalg.norm(w, axis=-1)
+    small = theta < 1e-8
+    th = np.where(small, 1.0, theta)
+    a = np.where(small, 1.0 - theta ** 2 / 6.0, np.sin(th) / th)
+    b = np.where(small, 0.5 - theta ** 2 / 24.0, (1.0 - np.cos(th)) / th ** 2)
+    W = _hat_np(w)
+    I = np.broadcast_to(np.eye(3), W.shape)
+    return I + a[..., None, None] * W + b[..., None, None] * (W @ W)
+
+
+def _hat_np(w: np.ndarray) -> np.ndarray:
+    O = np.zeros(w.shape[:-1])
+    return np.stack([
+        np.stack([O, -w[..., 2], w[..., 1]], axis=-1),
+        np.stack([w[..., 2], O, -w[..., 0]], axis=-1),
+        np.stack([-w[..., 1], w[..., 0], O], axis=-1),
+    ], axis=-2)
+
+
+def _jr_inv_np(phi: np.ndarray) -> np.ndarray:
+    """Inverse right Jacobian of SO(3) (batched, float64):
+    log(A exp(u^)) ~= log(A) + Jr_inv(log A) u."""
+    theta = np.linalg.norm(phi, axis=-1)
+    small = theta < 1e-6
+    th = np.where(small, 1.0, theta)
+    cot = np.where(small, 1.0 / 12.0 + theta ** 2 / 720.0,
+                   1.0 / th ** 2 - (1.0 + np.cos(th)) / (2.0 * th * np.sin(th)))
+    W = _hat_np(phi)
+    I = np.broadcast_to(np.eye(3), W.shape)
+    return I + 0.5 * W + cot[..., None, None] * (W @ W)
+
+
+def _block_triplets(bi, bj, B, rows, cols, vals,
+                    stride_r=3, stride_c=3, off_r=0, off_c=0):
+    """Append COO triplets for [E, a, b] blocks B at block coords (bi, bj).
+
+    ``stride_r``/``stride_c`` are the per-node variable widths at the
+    block's row/col axes; ``off_r``/``off_c`` shift into a larger variable
+    vector (e.g. the per-camera scale tail of the center system).
+    """
+    E, a, b = B.shape
+    r = (off_r + stride_r * bi)[:, None, None] + np.arange(a)[None, :, None]
+    c = (off_c + stride_c * bj)[:, None, None] + np.arange(b)[None, None, :]
+    rows.append(np.broadcast_to(r, (E, a, b)).ravel())
+    cols.append(np.broadcast_to(c, (E, a, b)).ravel())
+    vals.append(np.ascontiguousarray(B, np.float64).ravel())
+
+
+def _sparse_solve(rows, cols, vals, n_var, b):
+    """Solve the assembled symmetric system H x = b (float64, sparse LU)."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.linalg import splu
+    H = coo_matrix(
+        (np.concatenate(vals),
+         (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n_var, n_var)).tocsc()
+    return splu(H).solve(b)
+
+
+def _rotation_averaging_host(
+    R0: np.ndarray,      # [N, 3, 3] float64 current rotations (world->cam)
+    R_meas: np.ndarray,  # [E, 3, 3] measured relative rotations R_j R_i^T
+    ii: np.ndarray,      # [E]
+    jj: np.ndarray,      # [E]
+    sw: np.ndarray,      # [E] sqrt-weight per edge (0 = off)
+    free: np.ndarray,    # [N] bool — nodes allowed to move
+    rot_sigma: float,
+    iters: int,
+) -> np.ndarray:
+    """Sparse Gauss-Newton/LM rotation averaging on the host in float64.
+
+    Replaces the dense autodiff Jacobian (J was [3E, 3N] — 7+ GB at KITTI
+    scale N=4541) with analytic 3x3 blocks: for residual
+    r = log(R_meas^T R_j R_i^T),  dr/d(dj) = Jr_inv(r) R_rel^T and
+    dr/d(di) = -Jr_inv(r) under left perturbations R <- exp(d^) R. The
+    normal equations are a 3Nx3N graph-Laplacian-sparse system solved by
+    sparse LU per damped iteration. float64 beats the old fp32 device path
+    numerically as well.
+    """
+    N = R0.shape[0]
+    R = R0.copy()
+    w_e = (sw / rot_sigma).astype(np.float64)
+
+    def cost_and_parts(R):
+        R_rel = np.einsum("eab,ecb->eac", R[jj], R[ii])      # R_j R_i^T
+        A = np.einsum("eba,ebc->eac", R_meas, R_rel)          # R_meas^T R_rel
+        r0 = _log_so3_np(A)                                   # [E, 3]
+        r = r0 * w_e[:, None]
+        return r0, r, R_rel, float(np.sum(r * r))
+
+    lam = 1e-4
+    freen = free.astype(bool)
+    eye3 = np.eye(3)
+    r0, r, R_rel, cost = cost_and_parts(R)
+    for _ in range(iters):
+        Jri = _jr_inv_np(r0)                                  # [E, 3, 3]
+        Jj = w_e[:, None, None] * (Jri @ np.swapaxes(R_rel, -1, -2))
+        Ji = -w_e[:, None, None] * Jri
+        rows, cols, vals = [], [], []
+        _block_triplets(ii, ii, np.einsum("eab,eac->ebc", Ji, Ji),
+                        rows, cols, vals)
+        _block_triplets(jj, jj, np.einsum("eab,eac->ebc", Jj, Jj),
+                        rows, cols, vals)
+        Hij = np.einsum("eab,eac->ebc", Ji, Jj)
+        _block_triplets(ii, jj, Hij, rows, cols, vals)
+        _block_triplets(jj, ii, np.swapaxes(Hij, -1, -2), rows, cols, vals)
+        g = np.zeros((N, 3))
+        np.add.at(g, ii, np.einsum("eab,ea->eb", Ji, r))
+        np.add.at(g, jj, np.einsum("eab,ea->eb", Jj, r))
+        # diagonal scale for LM damping + hard prior pinning non-free nodes
+        diag = np.zeros(N)
+        np.add.at(diag, ii, np.einsum("eab,eab->e", Ji, Ji) / 3.0)
+        np.add.at(diag, jj, np.einsum("eab,eab->e", Jj, Jj) / 3.0)
+        scale = max(float(diag.max()), 1.0)
+        pin = np.where(freen, 0.0, 1e8 * scale)
+        for trial in range(4):
+            d = (lam * scale) + pin
+            nid = np.arange(N)
+            _block_triplets(nid, nid, d[:, None, None] * eye3[None],
+                            rows, cols, vals)
+            dx = _sparse_solve(rows, cols, vals, 3 * N, -g.ravel())
+            rows, cols, vals = rows[:-1], cols[:-1], vals[:-1]
+            dxn = dx.reshape(N, 3)
+            dxn[~freen] = 0.0
+            R_new = _exp_so3_np(dxn) @ R
+            r0_n, r_n, R_rel_n, cost_n = cost_and_parts(R_new)
+            if cost_n < cost:
+                R, r0, r, R_rel, cost = R_new, r0_n, r_n, R_rel_n, cost_n
+                lam = max(lam * 0.3, 1e-9)
+                break
+            lam = min(lam * 10.0, 1e6)
+        if cost <= 1e-18:
+            break
+    return R
+
+
 def _log_so3(R: jnp.ndarray) -> jnp.ndarray:
     """SO(3) log (batched) — rotation-residual coordinates.
 
@@ -253,62 +409,30 @@ def optimize_pose_graph(
     jj = pair_idx[:, 1]
     R0 = poses[:, :3, :3]
 
-    def _lm(residuals, x0, n_iter):
-        n_par = int(np.prod(x0.shape))
-
-        def body(_, state):
-            x, lam = state
-            r = residuals(x)
-            # forward mode: n_par (3N) tangents beat n_res (3P >> 3N)
-            # cotangents in both memory and compile size
-            J = jax.jacfwd(
-                lambda v: residuals(v.reshape(x0.shape)))(x.reshape(-1))
-            H = J.T @ J
-            g = J.T @ r
-            scale = jnp.maximum(jnp.max(jnp.diagonal(H)), 1.0)
-            dx = jax.scipy.linalg.cho_solve(
-                jax.scipy.linalg.cho_factor(
-                    H + lam * scale * jnp.eye(n_par, dtype=H.dtype)),
-                -g,
-            ).reshape(x0.shape)
-            x_new = x + dx
-            better = jnp.sum(residuals(x_new) ** 2) < jnp.sum(r * r)
-            x = jnp.where(better, x_new, x)
-            lam = jnp.where(better, jnp.maximum(lam * 0.3, 1e-9),
-                            jnp.minimum(lam * 10.0, 1e3))
-            return x, lam
-
-        run = jax.jit(lambda x_init: jax.lax.fori_loop(
-            0, n_iter, body, (x_init, jnp.asarray(1e-4, dt))))
-        x, _ = run(x0)
-        return x
-
-    # ---- stage 1: rotation averaging (LM over SO(3)^N) ----------------------
-    from eacham_tpu.geometry.se3 import _so3_exp
-
-    def rot_residuals(w):                            # [N, 3]
-        w = jnp.where(free[:, None], w, 0.0)
-        R = _so3_exp(w)[0] @ R0
-        R_rel = R[jj] @ jnp.swapaxes(R[ii], -1, -2)
-        r = _log_so3(jnp.swapaxes(R_meas, -1, -2) @ R_rel) / rot_sigma
-        return (r * sw[:, None]).reshape(-1)
-
-    w_opt = _lm(rot_residuals, jnp.zeros((N, 3), dt), iters)
-    w_opt = jnp.where(free[:, None], w_opt, 0.0)
-    R_new = _so3_exp(w_opt)[0] @ R0
+    # ---- stage 1: rotation averaging (sparse GN/LM over SO(3)^N, host) ------
+    # The dense autodiff Jacobian this used to build ([3E, 3N] via jacfwd)
+    # dies at KITTI scale (N=4541, E~50k: 7.4 GB in fp32); the analytic
+    # block-sparse float64 host solve handles it in seconds and is the
+    # numerically stronger choice besides (fp32 rotation noise at 1e-7
+    # is visible in stage 2's soft bending modes — see below).
+    iin = np.asarray(ii)
+    jjn = np.asarray(jj)
+    freen_ = np.asarray(free)
+    R_new64 = _rotation_averaging_host(
+        np.asarray(R0, np.float64), np.asarray(R_meas, np.float64),
+        iin, jjn, np.asarray(sw, np.float64), freen_, rot_sigma, iters)
+    R_new = jnp.asarray(R_new64, dt)
 
     # ---- stage 2: camera centers from translation directions (LINEAR) -------
     # t_rel = R_j (c_i - c_j), so each edge constrains the center difference
     # to the known direction d = R_j^T t_meas: minimize
-    # sum w || (I - d d^T)(c_i - c_j) ||^2 — convex, one dense 3N solve.
+    # sum w || (I - d d^T)(c_i - c_j) ||^2 — convex, one sparse 3N solve.
     # formed AND solved on the HOST in float64: the direction system is
     # parallel-rigid but its soft bending modes sit ~1e-6 below the matrix
     # norm — fp32 rounding in the projectors alone (1e-7) perturbs those
     # modes into the gauge nullspace and the drift survives in exactly
-    # those modes. One 3Nx3N float64 solve per reconstruction is host-trivial.
-    iin = np.asarray(ii)
-    jjn = np.asarray(jj)
-    R64 = np.asarray(R_new, np.float64)
+    # those modes. A float64 sparse solve per reconstruction is host-trivial.
+    R64 = R_new64
     t64 = np.asarray(t_meas, np.float64)
     t64 /= np.maximum(np.linalg.norm(t64, axis=-1, keepdims=True), 1e-12)
     dn = np.einsum("pji,pj->pi", R64[jjn], t64)           # R_j^T t_meas
@@ -375,10 +499,7 @@ def optimize_pose_graph(
         dn = np.where(local[:, None], d_local, dn)
     eye3 = np.eye(3)
     n_var = 3 * N + N
-    freen = np.asarray(free)
-
-    def c_sl(n):
-        return slice(3 * n, 3 * n + 3)
+    freen = freen_
 
     # When the measured directions are trusted, the solve is refined by
     # re-estimating the edge baselines m_e from the solved centers and
@@ -388,8 +509,6 @@ def optimize_pose_graph(
     cn_cur = c0n
     for _pass in range(3 if use_meas else 1):
         m_e = np.linalg.norm(cn_cur[iin] - cn_cur[jjn], axis=-1)
-        H = np.zeros((n_var, n_var))
-        b = np.zeros(n_var)
         # Per-constraint noise models, NOT raw inlier counts: local
         # full-vector constraints are tight (~2% of their baseline — the
         # window BA keeps local geometry consistent), while essential-matrix
@@ -426,43 +545,53 @@ def optimize_pose_graph(
         lw = np.where(has_pnp[vec], w_pnp[vec], w_local[vec])
         lv = np.where(has_pnp[vec, None], -v_pnp[vec],
                       m_e[vec, None] * dn[vec])            # [El, 3]
-        for e in range(li.shape[0]):
-            i, j, w_, v = li[e], lj[e], lw[e], lv[e]
-            si = 3 * N + i
-            H[c_sl(i), c_sl(i)] += w_ * eye3
-            H[c_sl(j), c_sl(j)] += w_ * eye3
-            H[c_sl(i), c_sl(j)] -= w_ * eye3
-            H[c_sl(j), c_sl(i)] -= w_ * eye3
-            H[c_sl(i), si] -= w_ * v
-            H[si, c_sl(i)] -= w_ * v
-            H[c_sl(j), si] += w_ * v
-            H[si, c_sl(j)] += w_ * v
-            H[si, si] += w_ * v @ v
+        # vectorized COO assembly (the per-edge Python loop this replaces
+        # ran ~10^5 iterations at KITTI N=4541, and the dense (3N+N)^2
+        # float64 H alone was ~2.6 GB; the triplet build is O(E) numpy and
+        # the sparse LU scales with the graph's bandwidth)
+        rows, cols, vals = [], [], []
+        wI = lw[:, None, None] * eye3[None]                # [El, 3, 3]
+        _block_triplets(li, li, wI, rows, cols, vals)
+        _block_triplets(lj, lj, wI, rows, cols, vals)
+        _block_triplets(li, lj, -wI, rows, cols, vals)
+        _block_triplets(lj, li, -wI, rows, cols, vals)
+        wv = (lw[:, None] * lv)[:, :, None]                # [El, 3, 1]
+        sig_kw = dict(stride_c=1, off_c=3 * N)
+        sig_kw_t = dict(stride_r=1, off_r=3 * N)
+        _block_triplets(li, li, -wv, rows, cols, vals, **sig_kw)
+        _block_triplets(li, li, -np.swapaxes(wv, 1, 2), rows, cols, vals,
+                        **sig_kw_t)
+        _block_triplets(lj, li, wv, rows, cols, vals, **sig_kw)
+        _block_triplets(li, lj, np.swapaxes(wv, 1, 2), rows, cols, vals,
+                        **sig_kw_t)
+        ws = (lw * np.einsum("ea,ea->e", lv, lv))[:, None, None]
+        _block_triplets(li, li, ws, rows, cols, vals,
+                        stride_r=1, stride_c=1, off_r=3 * N, off_c=3 * N)
         # remaining loop edges (no PnP): direction projector on (c_i - c_j)
         Pproj = eye3[None] - dn[:, :, None] * dn[:, None, :]
         rest = ~vec
         gi = iin[rest]
         gj = jjn[rest]
         gP = Pproj[rest] * w_dir[rest][:, None, None]
-        for e in range(gi.shape[0]):
-            i, j, W_ = gi[e], gj[e], gP[e]
-            H[c_sl(i), c_sl(i)] += W_
-            H[c_sl(j), c_sl(j)] += W_
-            H[c_sl(i), c_sl(j)] -= W_
-            H[c_sl(j), c_sl(i)] -= W_
+        _block_triplets(gi, gi, gP, rows, cols, vals)
+        _block_triplets(gj, gj, gP, rows, cols, vals)
+        _block_triplets(gi, gj, -gP, rows, cols, vals)
+        _block_triplets(gj, gi, -gP, rows, cols, vals)
         # priors: anchor fixed/invalid centers hard, free weakly; sigma -> 1
         # (hard on the anchor, weak everywhere to bound unobserved scales)
+        b = np.zeros(n_var)
         wmax = max(np.median(w_local[local & (w2 > 0)])
                    if (local & (w2 > 0)).any() else 1.0, 1.0)
         prior_c = np.where(freen, 1e-8 * wmax, 1e3 * wmax)
-        for n in range(N):
-            H[c_sl(n), c_sl(n)] += prior_c[n] * eye3
-            b[c_sl(n)] += prior_c[n] * c0n[n]
+        nid = np.arange(N)
+        _block_triplets(nid, nid, prior_c[:, None, None] * eye3[None],
+                        rows, cols, vals)
+        b[:3 * N] += (prior_c[:, None] * c0n).ravel()
         prior_s = np.where(freen, 1e-6 * wmax, 1e3 * wmax)
-        idx_s = 3 * N + np.arange(N)
-        H[idx_s, idx_s] += prior_s
-        b[idx_s] += prior_s * 1.0
-        sol = np.linalg.solve(H, b)
+        _block_triplets(nid, nid, prior_s[:, None, None], rows, cols, vals,
+                        stride_r=1, stride_c=1, off_r=3 * N, off_c=3 * N)
+        b[3 * N:] += prior_s * 1.0
+        sol = _sparse_solve(rows, cols, vals, n_var, b)
         cn_cur = sol[:3 * N].reshape(N, 3)
     c_new = jnp.asarray(cn_cur, dt)
 
