@@ -33,8 +33,9 @@ def _pad_axis0(x: jnp.ndarray, pad: int, fill=0):
 
 def refine_ba_sharded(prob: BAProblem, cfg: BAConfig, mesh: Mesh):
     """Distributed ``refine_ba``: same results, observation axis sharded."""
-    (axis,) = mesh.axis_names
-    n_dev = mesh.shape[axis]
+    from eacham_tpu.parallel.mesh import mesh_axes
+
+    axis, n_dev = mesh_axes(mesh)     # 1-D or (hosts, chips): same specs
     O = prob.obs_cam.shape[0]
     pad = (-O) % n_dev
     prob = prob._replace(

@@ -30,8 +30,9 @@ def match_all_pairs_sharded(
     """Same contract as ``match_all_pairs``, work split over the mesh's
     single axis. Padding rows (frame 0 vs itself) are computed and sliced
     off — static shapes everywhere."""
-    (axis,) = mesh.axis_names
-    n_dev = mesh.shape[axis]
+    from eacham_tpu.parallel.mesh import mesh_axes
+
+    axis, n_dev = mesh_axes(mesh)     # 1-D or (hosts, chips): same specs
     P_orig = pair_idx.shape[0]
     pad = (-P_orig) % n_dev
     pair_padded = jnp.concatenate(

@@ -13,6 +13,91 @@ import jax
 from jax.sharding import Mesh
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Initialize `jax.distributed` for a multi-host run (idempotent).
+
+    The reference is a single-process program (SURVEY.md §2.3 — "no
+    MPI/NCCL/Gloo"); multi-host is a north-star capability designed
+    fresh: one JAX process per host, all chips of the pod slice visible
+    as `jax.devices()` after initialization, DCN used only by the
+    coordinator handshake and any cross-host collective XLA inserts.
+
+    Returns True if a multi-process runtime is (now) active. Safe to call
+    in single-process runs: with no coordinator configured (args or
+    standard cluster env vars) it is a no-op returning False.
+    """
+    if jax.process_count() > 1:
+        return True
+    import os
+    coord = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coord is None and num_processes is None:
+        return False
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        # already initialized (e.g. by the launcher)
+        pass
+    return jax.process_count() > 1
+
+
+def make_mesh_2d(
+    n_hosts: int | None = None,
+    chips_per_host: int | None = None,
+    axes: tuple[str, str] = ("dcn", "ici"),
+) -> Mesh:
+    """2-D (hosts, chips) mesh: leading axis over DCN (process) boundaries,
+    trailing axis over the chips within a host, which XLA maps to ICI.
+
+    Layout contract: the pair/observation PartitionSpecs shard their
+    leading dim over BOTH axes flattened (``P(axes)``), so per-device work
+    is unchanged vs a 1-D mesh; reductions (`psum` over the axis tuple)
+    decompose into an ICI all-reduce within each host followed by the
+    small cross-host DCN reduce — the collective payload of the BA camera
+    system is tens of KB (SCALING.md), so DCN latency, not bandwidth,
+    bounds it.
+
+    Defaults: hosts = `jax.process_count()`, chips = local device count.
+    On a single host with virtual CPU devices, pass explicit shape (e.g.
+    2x4) to validate the mesh logic without hardware.
+    """
+    devs = jax.devices()
+    if n_hosts is None:
+        n_hosts = jax.process_count()
+    if chips_per_host is None:
+        chips_per_host = max(1, len(devs) // max(n_hosts, 1))
+    need = n_hosts * chips_per_host
+    if len(devs) < need:
+        try:
+            cpu = jax.devices("cpu")
+        except RuntimeError:
+            cpu = []
+        if len(cpu) >= need:
+            devs = cpu
+    if len(devs) < need:
+        raise ValueError(
+            f"need {need} devices for a {n_hosts}x{chips_per_host} mesh, "
+            f"have {len(devs)}")
+    grid = np.array(devs[:need]).reshape(n_hosts, chips_per_host)
+    return Mesh(grid, axes)
+
+
+def mesh_axes(mesh: Mesh) -> tuple[tuple[str, ...], int]:
+    """(axis-name tuple, total device count) — consumers shard their
+    leading data axis over ALL mesh axes flattened, so 1-D and (hosts,
+    chips) meshes use identical PartitionSpecs."""
+    names = tuple(mesh.axis_names)
+    n_dev = int(np.prod([mesh.shape[a] for a in names]))
+    return names, n_dev
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
     """1-D mesh over the first ``n_devices`` devices (default: all).
 

@@ -143,3 +143,59 @@ def test_run_sfm_mesh_parity(rng):
                       options=SfmOptions(n_devices=8, **kw), verbose=False)
     assert st8["registered"] == st1["registered"] >= n_frames - 1
     assert ate(s8) < 0.02 and ate(s1) < 0.02
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    """Virtual (hosts, chips) = (2, 4) mesh — the multi-host DCN x ICI
+    layout (SURVEY §2.3/§5) validated without a pod slice."""
+    from eacham_tpu.parallel.mesh import make_mesh_2d
+
+    assert len(jax.devices()) >= 8
+    return make_mesh_2d(2, 4)
+
+
+def test_mesh2d_shape_and_flattening(mesh2d):
+    from eacham_tpu.parallel.mesh import mesh_axes
+
+    assert mesh2d.axis_names == ("dcn", "ici")
+    assert mesh2d.shape["dcn"] == 2 and mesh2d.shape["ici"] == 4
+    names, n = mesh_axes(mesh2d)
+    assert names == ("dcn", "ici") and n == 8
+
+
+def test_sharded_ba_parity_on_2d_mesh(mesh2d, rng):
+    """The (hosts, chips) mesh must produce the same BA solution as the
+    single device path — PartitionSpecs shard the obs axis over both
+    axes flattened, psum reduces over the axis tuple."""
+    prob, poses_gt, pts_gt = _random_problem(rng)
+    cfg = BAConfig(max_iters=20, cg_iters=25)
+    p1, x1, k1, info1 = refine_ba(prob, cfg)
+    p8, x8, k8, info8 = refine_ba_sharded(prob, cfg, mesh2d)
+    assert abs(float(info1["final_cost"]) - float(info8["final_cost"])) < (
+        0.02 * max(float(info1["final_cost"]), 1.0))
+    assert np.abs(np.asarray(p1) - np.asarray(p8)).max() < 5e-2
+
+
+def test_sharded_matching_parity_on_2d_mesh(mesh2d, rng):
+    desc = rng.normal(size=(6, 64, 32)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+    kp_mask = np.ones((6, 64), bool)
+    kp_mask[2, 40:] = False
+    pair_idx = np.asarray(all_pairs_index(6))
+    mj1, mv1, ok1 = match_all_pairs(
+        jnp.asarray(desc), jnp.asarray(kp_mask), jnp.asarray(pair_idx),
+        min_matches=5)
+    mj8, mv8, ok8 = match_all_pairs_sharded(
+        jnp.asarray(desc), jnp.asarray(kp_mask), jnp.asarray(pair_idx),
+        mesh2d, min_matches=5)
+    np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok8))
+    np.testing.assert_array_equal(np.asarray(mv1), np.asarray(mv8))
+    np.testing.assert_array_equal(
+        np.asarray(mj1)[np.asarray(mv1)], np.asarray(mj8)[np.asarray(mv8)])
+
+
+def test_init_distributed_single_process_noop():
+    from eacham_tpu.parallel.mesh import init_distributed
+
+    assert init_distributed() is False     # no coordinator configured
