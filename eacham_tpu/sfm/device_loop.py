@@ -32,7 +32,7 @@ from eacham_tpu.sfm.triangulate import triangulate_frame
     static_argnames=(
         "min_pnp_inliers", "min_ba_landmarks", "ba_cfg", "max_observers",
         "n_hyp_pnp", "pnp_pair_only", "ba_max_cams", "ba_max_obs",
-        "ba_max_lms", "max_steps", "ba_every",
+        "ba_max_lms", "max_steps", "ba_every", "ba_free_span",
     ),
 )
 def registration_sweep_step(
@@ -53,6 +53,7 @@ def registration_sweep_step(
     ba_max_lms: int | None = None,
     max_steps: int | None = None,
     ba_every: int = 1,
+    ba_free_span: int = 0,
 ):
     """Register up to ``max_steps`` frames (one dispatch).
     Returns (scene, excluded, n_registered, more) where ``more`` means the
@@ -84,7 +85,7 @@ def registration_sweep_step(
         # iteration cheap (and dense-Schur-eligible) at any scene size
         prob, cam_list, cam_on, lm_list, lm_on = ba_problem_windowed(
             scene, nb, max_cams=ba_max_cams, max_obs=ba_max_obs, cur=cur,
-            max_lms=ba_max_lms,
+            max_lms=ba_max_lms, free_span=ba_free_span,
         )
         n_lm = jnp.sum(prob.pt_in_ba)
 

@@ -146,6 +146,19 @@ class SfmOptions:
     # measurement noise floor (the accept case it exists for measured
     # 83 deg; rejected cases measured 2.6-6.7 deg)
     pgo_min_consistency_deg: float = 8.0
+    # hierarchical submap alignment BEFORE the frame-level PGO when the
+    # loop inconsistency exceeds its linearization range (measured: the
+    # frame PGO repairs 12.6 deg but not 39.5 deg, SCALING.md 1000-frame;
+    # rigid-submap Sim(3) alignment converges from arbitrary drift)
+    submap_align_min_deg: float = 15.0
+    submap_size: int = 50
+    # hard-freeze window-BA cameras more than this many frame-ids from
+    # the frame being registered (0 = all window cams free). A fully-free
+    # window keeps its similarity gauge and the per-solve gauge
+    # random-walk COMPOUNDS: measured scale collapse of 100-250x over the
+    # 1000-frame orbit's interior (r3 scale-profile analysis). Frozen
+    # elders pin the scale each new triangulation inherits.
+    local_ba_free_span: int = 0
     # outlier-observation pruning around global BA (deviation from the
     # reference, which never prunes — strictly improves robustness)
     prune_outliers: bool = True
@@ -537,6 +550,7 @@ def run_sfm(
                            min(opt.local_ba_max_cams, N) * keypoints.shape[1]),
             ba_max_lms=opt.local_ba_max_lms,
             ba_every=opt.local_ba_every,
+            ba_free_span=opt.local_ba_free_span,
             segment=opt.sweep_segment,
             on_segment=on_segment,
         )
@@ -582,6 +596,32 @@ def run_sfm(
                 log(f"pose graph skipped (loop consistency {err0:.2f} deg "
                     f"is at the measurement noise floor)")
             else:
+                submap_applied = False
+                if err0 > opt.submap_align_min_deg:
+                    # drift beyond the frame-PGO's linearization range:
+                    # align rigid submaps first (host float64 Sim(3)
+                    # graph — milliseconds), gate on its own consistency
+                    from eacham_tpu.sfm.submap import submap_align
+
+                    pose_sub = submap_align(
+                        np.asarray(scene.pose), np.asarray(scene.pose_valid),
+                        np.asarray(scene.pose_fixed), np.asarray(pair_idx),
+                        np.asarray(loop_rows), np.asarray(T_loop),
+                        np.asarray(w_loop), size=opt.submap_size,
+                    )
+                    err_sub = loop_consistency(
+                        jnp.asarray(pose_sub), pair_idx, loop_rows,
+                        T_loop, w_loop)
+                    if np.isfinite(err_sub) and err_sub < 0.75 * err0:
+                        scene = scene._replace(pose=jnp.asarray(pose_sub))
+                        log(f"submap align: loop consistency {err0:.2f} -> "
+                            f"{err_sub:.2f} deg "
+                            f"({int(np.ceil(N / opt.submap_size))} submaps)")
+                        err0 = err_sub
+                        submap_applied = True
+                    else:
+                        log(f"submap align rejected ({err0:.2f} -> "
+                            f"{err_sub:.2f} deg)")
                 T_meas, w_meas = edge_measurements(
                     scene.keypoints, pair_idx, pair_ok, m_ij, v_ij,
                     scene.intr, k_pg, px_threshold=opt.max_repr_error,
@@ -619,14 +659,24 @@ def run_sfm(
                 # "improving" 6.7 -> 5.4 deg, and 5.9 -> 2.9 for 1.0 ->
                 # 4.2. The genuine repair case measured 83 -> 4.4 (0.05x);
                 # demand at least a halving.
-                if np.isfinite(err1) and err1 < 0.5 * err0:
+                # after submap alignment the residual often sits AT the
+                # noise floor already — demand a halving only above it
+                accept = np.isfinite(err1) and (
+                    err1 < 0.5 * err0
+                    or (submap_applied
+                        and err1 < min(err0, opt.pgo_min_consistency_deg)))
+                if accept:
                     scene = scene._replace(pose=pose_pg)
+                if accept or submap_applied:
+                    # submap-aligned poses invalidate the old landmark
+                    # table even when the frame PGO's polish is rejected
                     scene = rebuild_map(
                         scene, fp_tbl, opt.max_repr_error,
                         opt.min_tri_angle,
                         max_observers=opt.max_observers,
                         segment=opt.sweep_segment or 128,
                     )
+                if accept:
                     log(f"pose graph: {n_far} loop edges closed "
                         f"(consistency {err0:.2f} -> {err1:.2f} deg), map "
                         f"rebuilt ({int(jnp.sum(scene.lm_valid))} "
@@ -634,7 +684,7 @@ def run_sfm(
                 else:
                     log(f"pose graph: correction rejected (loop "
                         f"consistency {err0:.2f} -> {err1:.2f} deg), "
-                        f"keeping sweep poses")
+                        f"keeping {'submap-aligned' if submap_applied else 'sweep'} poses")
 
         return _finalize(scene, excluded, opt, global_cfg, i0, j0, N, log,
                          mesh=mesh, fp_tbl=fp_tbl)

@@ -260,6 +260,7 @@ def ba_problem_windowed(
     min_observers: int = 2,
     cur: jnp.ndarray | None = None,
     max_lms: int | None = None,
+    free_span: int = 0,
 ):
     """Compact local-BA problem: participating cameras gathered into a
     static [max_cams] window, their observations into [max_obs] slots, and
@@ -346,7 +347,17 @@ def ba_problem_windowed(
         obs_uv=obs_uv,
         obs_mask=o_mask,
         cam_in_ba=cam_on,
-        cam_fixed=scene.pose_fixed[cam_list] | (~cam_on),
+        # free_span > 0: hard-freeze window cameras more than free_span
+        # ids from the current frame (incl. loop-closure neighbors). A
+        # window whose every camera is free keeps its similarity gauge,
+        # and the per-solve gauge random-walk COMPOUNDS over a long sweep
+        # (measured: the 1000-frame orbit's mid-trajectory scale collapsed
+        # 100-250x, /tmp scale-profile analysis r3); two or more frozen
+        # cameras pin scale so fresh triangulations inherit it.
+        cam_fixed=(scene.pose_fixed[cam_list] | (~cam_on))
+        if (free_span <= 0 or cur is None) else (
+            scene.pose_fixed[cam_list] | (~cam_on)
+            | (jnp.abs(cam_list - cur) > free_span)),
         pt_in_ba=lm_on,
         pt_obs_count=jnp.maximum(counts[lm_list], 1.0),
     )

@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--ba-every", type=int, default=1,
                     help="run the windowed local BA on every M-th "
                          "registration (SfmOptions.local_ba_every)")
+    ap.add_argument("--free-span", type=int, default=0,
+                    help="freeze window-BA cams more than this many ids "
+                         "from the current frame (0 = all free)")
     ap.add_argument("--cache", default="/tmp/stress500_feat.npz",
                     help="feature cache (skips render+extract on reruns)")
     args = ap.parse_args()
@@ -120,6 +123,7 @@ def main():
         match_chunk=32, interim_ba_iters=args.interim,
         loop_close=bool(args.loop_close),
         local_ba_every=args.ba_every,
+        local_ba_free_span=args.free_span,
         map_refine_rounds=args.refine_rounds,
     )
 
