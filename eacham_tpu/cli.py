@@ -39,10 +39,15 @@ def run(config_path: str, max_keypoints: int = 1024, verbose: bool = True,
     with BlockTimer("Load", verbose=verbose):
         batch = load_image_dir(cfg.images_path, max_count=cfg.max_data_size)
 
+    # K guess from the FIRST frame's true size, as the reference does
+    # (utils::ImageToCameraParams(frames[0].image), Utils.h:13-22)
+    w0, h0 = (int(v) for v in batch.sizes[0])
+    opts = cfg.to_options(max_keypoints=max_keypoints, n_devices=n_devices)
+
     match_tables = None
     if frontend == "deep":
         match_tables, (xy, desc, score, mask) = _deep_frontend(
-            batch, max_keypoints, weights_dir, verbose)
+            batch, max_keypoints, weights_dir, verbose, opts, (w0, h0))
     else:
         with BlockTimer("Extract", verbose=verbose):  # HOT LOOP 1 (main.cpp:72-79)
             xy, desc, score, mask = extract_features(
@@ -51,11 +56,6 @@ def run(config_path: str, max_keypoints: int = 1024, verbose: bool = True,
     # unequal-size frames are zero-padded to the batch max; drop keypoints
     # that fired on padding (incl. the artificial image/pad edge)
     mask = mask & _in_frame_mask(xy, batch.sizes)
-    # K guess from the FIRST frame's true size, as the reference does
-    # (utils::ImageToCameraParams(frames[0].image), Utils.h:13-22)
-    w0, h0 = (int(v) for v in batch.sizes[0])
-
-    opts = cfg.to_options(max_keypoints=max_keypoints, n_devices=n_devices)
     with BlockTimer("SfM", verbose=verbose):       # match + loop + BA
         scene, stats = run_sfm(
             xy, desc, mask,
@@ -108,17 +108,20 @@ def _in_frame_mask(xy, sizes):
     return jnp.all((xy >= 0) & (xy < wh), axis=-1)
 
 
-def _deep_frontend(batch, max_keypoints, weights_dir, verbose):
-    """SuperPoint extraction + LightGlue all-pairs matching."""
+def _deep_frontend(batch, max_keypoints, weights_dir, verbose, opts,
+                   image_size):
+    """SuperPoint extraction + LightGlue matching over the SAME candidate
+    -pair graph policy as the classical path (window + ladder + retrieval
+    + epipolar verification) — `--frontend deep` scales wherever the
+    classical frontend does."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from eacham_tpu.features.deep import lightglue as lg
     from eacham_tpu.features.deep import superpoint as sp
     from eacham_tpu.features.deep.frontend import (
-        extract_deep_batch, match_all_pairs_deep,
+        build_match_tables_deep, extract_deep_batch,
     )
-    from eacham_tpu.sfm.matches import all_pairs_index
     from eacham_tpu.utils.timer import BlockTimer
 
     wdir = Path(weights_dir or Path(__file__).resolve().parent.parent / "weights")
@@ -144,10 +147,20 @@ def _deep_frontend(batch, max_keypoints, weights_dir, verbose):
             sp_params, jnp.asarray(batch.images), max_keypoints=max_keypoints)
     xy, desc, score, mask = feats
     with BlockTimer("Match(deep)", verbose=verbose):
-        pair_idx = jnp.asarray(all_pairs_index(batch.images.shape[0]))
-        tables = match_all_pairs_deep(
-            lg_params, xy, desc, mask, pair_idx,
-            (batch.width, batch.height), n_layers=n_layers)
+        from eacham_tpu.geometry.camera import intrinsics_from_image_size
+
+        verify = None
+        if opts.verify_hyps > 0:
+            verify = (intrinsics_from_image_size(*image_size),
+                      jax.random.PRNGKey(7), opts.max_repr_error,
+                      opts.verify_hyps)
+        tables = build_match_tables_deep(
+            lg_params, xy, desc, mask, image_size, n_layers=n_layers,
+            min_matches=opts.min_matches,
+            pair_window=opts.pair_window,
+            retrieval_k=opts.pair_retrieval_k, ladder=opts.pair_ladder,
+            verify=verify,
+        )
     return tables, feats
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -84,3 +85,67 @@ def match_all_pairs_deep(
     match_valid = mv.reshape(-1, K)[:P]
     pair_ok = jnp.sum(match_valid, axis=-1) > min_matches
     return match_j, match_valid, pair_ok
+
+
+def build_match_tables_deep(
+    params,
+    xy: jnp.ndarray,         # [N, K, 2]
+    desc: jnp.ndarray,       # [N, K, 256]
+    kp_mask: jnp.ndarray,    # [N, K]
+    image_size: tuple,       # (w, h)
+    n_layers: int = 3,
+    min_matches: int = 30,
+    chunk: int = 4,
+    pair_window: int = 0,
+    retrieval_k: int = 3,
+    ladder: bool = True,
+    verify: tuple | None = None,   # (intr, key, px_thr, n_hyp)
+):
+    """Production-shaped deep match graph: same candidate-pair windowing,
+    size bucketing, epipolar verification, and inverse tables as the
+    classical ``build_match_tables`` — so ``--frontend deep`` scales to
+    the same N the classical path does instead of OOMing on all-pairs
+    (reference path: FeatureMatcherLightglue.cpp:94-124, which matches
+    one pair per call and has no graph policy at all).
+
+    Returns the 6-tuple ``run_sfm`` accepts as ``match_tables``:
+    (pair_idx, pair_ok, match_ij, valid_ij, match_ji, valid_ji).
+    """
+    from eacham_tpu.sfm.matches import (
+        all_pairs_index, candidate_pairs, invert_matches,
+        verify_matches_epipolar,
+    )
+
+    N = xy.shape[0]
+    if pair_window > 0:
+        pair_idx = jnp.asarray(candidate_pairs(
+            desc, kp_mask, window=pair_window, retrieval_k=retrieval_k,
+            ladder=ladder,
+        ))
+    else:
+        pair_idx = jnp.asarray(all_pairs_index(N))
+    # size bucketing: content-dependent P recompiles the transformer scan
+    # and all downstream [P, K] programs (same policy as the classical
+    # builder, matches.py build_match_tables)
+    P0 = pair_idx.shape[0]
+    step = 64 if P0 <= 1024 else 512
+    pad = (-P0) % step
+    if pad:
+        pair_idx = jnp.concatenate(
+            [pair_idx, jnp.zeros((pad, 2), pair_idx.dtype)], axis=0)
+    match_ij, valid_ij, pair_ok = match_all_pairs_deep(
+        params, xy, desc, kp_mask, pair_idx, image_size,
+        n_layers=n_layers, min_matches=min_matches, chunk=chunk,
+    )
+    pair_ok = pair_ok & (pair_idx[:, 0] < pair_idx[:, 1])
+    if verify is not None:
+        intr, key, px_thr, n_hyp = verify
+        valid_ij = verify_matches_epipolar(
+            xy, pair_idx, match_ij, valid_ij, intr, key,
+            px_threshold=px_thr, n_hyp=n_hyp, chunk=max(chunk, 8),
+        )
+        pair_ok = pair_ok & (jnp.sum(valid_ij, axis=-1) > min_matches)
+    valid_ij = valid_ij & pair_ok[:, None]
+    match_ji, valid_ji = invert_matches(match_ij, valid_ij)
+    return (np.asarray(pair_idx), pair_ok, match_ij, valid_ij,
+            match_ji, valid_ji)

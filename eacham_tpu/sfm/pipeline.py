@@ -457,11 +457,31 @@ def run_sfm(
             min_matches=opt.min_matches, chunk=opt.match_chunk,
             mesh=mesh, pair_idx=cand, verify=verify,
         )
+    elif len(match_tables) == 6:
+        # production deep path (features.deep.frontend.build_match_tables
+        # _deep): windowed candidate pairs, already epipolar-verified
+        pair_idx, pair_ok, m_ij, v_ij, m_ji, v_ji = match_tables
+        pair_idx = jnp.asarray(pair_idx)
     else:
-        from eacham_tpu.sfm.matches import all_pairs_index, invert_matches
+        from eacham_tpu.sfm.matches import (
+            all_pairs_index, invert_matches, verify_matches_epipolar,
+        )
 
         m_ij, v_ij, pair_ok = match_tables
         pair_idx = jnp.asarray(all_pairs_index(N))
+        if opt.verify_hyps > 0:
+            # externally supplied tables get the same epipolar cleanup
+            # the classical builder applies (r2 gap: deep matches used
+            # to skip verification entirely)
+            key, k_ver = jax.random.split(key)
+            v_ij = verify_matches_epipolar(
+                keypoints, pair_idx, m_ij, v_ij,
+                jnp.asarray(intr) if intr is not None
+                else intrinsics_from_image_size(*image_size),
+                k_ver, px_threshold=opt.max_repr_error,
+                n_hyp=opt.verify_hyps, chunk=opt.match_chunk,
+            )
+            pair_ok = pair_ok & (jnp.sum(v_ij, axis=-1) > opt.min_matches)
         v_ij = v_ij & pair_ok[:, None]
         m_ji, v_ji = invert_matches(m_ij, v_ij)
     if intr is None:

@@ -190,41 +190,68 @@ def submap_align(
     # seams soft (their error IS the drift)
     sig = np.where(is_loop, 0.02 * np.maximum(base, 0.25 * b_med),
                    0.05 * np.maximum(base, 0.1 * b_med))
-    w_e = 1.0 / sig ** 2
+    w_e0 = 1.0 / sig ** 2
     n_var = 3 * S + S
     eye3 = np.eye(3)
-    rows, cols, vals = [], [], []
-    wI = w_e[:, None, None] * eye3[None]
-    _block_triplets(ii, ii, wI, rows, cols, vals)
-    _block_triplets(jj, jj, wI, rows, cols, vals)
-    _block_triplets(ii, jj, -wI, rows, cols, vals)
-    _block_triplets(jj, ii, -wI, rows, cols, vals)
-    # coupling blocks for residual (c'_j - c'_i) - sigma_i u:
-    # dr/dc_i = -I, dr/dc_j = +I, dr/dsigma_i = -u
-    wv = (w_e[:, None] * u)[:, :, None]
-    _block_triplets(ii, ii, wv, rows, cols, vals, stride_c=1, off_c=3 * S)
-    _block_triplets(ii, ii, np.swapaxes(wv, 1, 2), rows, cols, vals,
-                    stride_r=1, off_r=3 * S)
-    _block_triplets(jj, ii, -wv, rows, cols, vals, stride_c=1, off_c=3 * S)
-    _block_triplets(ii, jj, -np.swapaxes(wv, 1, 2), rows, cols, vals,
-                    stride_r=1, off_r=3 * S)
-    ws = (w_e * np.einsum("ea,ea->e", u, u))[:, None, None]
-    _block_triplets(ii, ii, ws, rows, cols, vals,
-                    stride_r=1, stride_c=1, off_r=3 * S, off_c=3 * S)
-    b = np.zeros(n_var)
-    wmax = max(float(np.median(w_e)), 1.0)
-    prior_c = np.where(free, 1e-8 * wmax, 1e4 * wmax)
-    sid = np.arange(S)
-    _block_triplets(sid, sid, prior_c[:, None, None] * eye3[None],
-                    rows, cols, vals)
-    b[:3 * S] += (prior_c[:, None] * cq).ravel()
-    prior_s = np.where(free, 1e-6 * wmax, 1e4 * wmax)
-    _block_triplets(sid, sid, prior_s[:, None, None], rows, cols, vals,
-                    stride_r=1, stride_c=1, off_r=3 * S, off_c=3 * S)
-    b[3 * S:] += prior_s * 1.0
-    sol = _sparse_solve(rows, cols, vals, n_var, b)
-    c_new = sol[:3 * S].reshape(S, 3)
-    sigma = np.clip(sol[3 * S:], 0.2, 5.0)
+    E = ii.shape[0]
+
+    # robust trimming: near-coincident revisit vectors carry PnP noise
+    # several times their true length (measured 4-8x on the fs6 dump);
+    # MAD-thresholded suppression drops them without touching clean edges
+    def _trim(r_e):
+        rob = np.ones(E)
+        for cls in (is_loop, ~is_loop):
+            if cls.sum() >= 4:
+                s = 1.4826 * np.median(r_e[cls]) + 1e-12
+                rob[cls] = np.minimum(
+                    1.0, (3.0 * s / np.maximum(r_e[cls], 1e-12)) ** 2)
+        return rob
+
+    # pre-trim at the initial configuration (garbage vectors already
+    # stick out against the locally-correct current arrangement)
+    rob = _trim(np.linalg.norm((cq[jj] - cq[ii]) - u, axis=-1))
+    for _pass in range(3):
+        w_e = w_e0 * rob
+        rows, cols, vals = [], [], []
+        wI = w_e[:, None, None] * eye3[None]
+        _block_triplets(ii, ii, wI, rows, cols, vals)
+        _block_triplets(jj, jj, wI, rows, cols, vals)
+        _block_triplets(ii, jj, -wI, rows, cols, vals)
+        _block_triplets(jj, ii, -wI, rows, cols, vals)
+        # coupling blocks for residual (c'_j - c'_i) - sigma_i u:
+        # dr/dc_i = -I, dr/dc_j = +I, dr/dsigma_i = -u
+        wv = (w_e[:, None] * u)[:, :, None]
+        _block_triplets(ii, ii, wv, rows, cols, vals, stride_c=1,
+                        off_c=3 * S)
+        _block_triplets(ii, ii, np.swapaxes(wv, 1, 2), rows, cols, vals,
+                        stride_r=1, off_r=3 * S)
+        _block_triplets(jj, ii, -wv, rows, cols, vals, stride_c=1,
+                        off_c=3 * S)
+        _block_triplets(ii, jj, -np.swapaxes(wv, 1, 2), rows, cols, vals,
+                        stride_r=1, off_r=3 * S)
+        ws = (w_e * np.einsum("ea,ea->e", u, u))[:, None, None]
+        _block_triplets(ii, ii, ws, rows, cols, vals,
+                        stride_r=1, stride_c=1, off_r=3 * S, off_c=3 * S)
+        b = np.zeros(n_var)
+        wmax = max(float(np.median(w_e)), 1.0)
+        prior_c = np.where(free, 1e-8 * wmax, 1e4 * wmax)
+        sid = np.arange(S)
+        _block_triplets(sid, sid, prior_c[:, None, None] * eye3[None],
+                        rows, cols, vals)
+        b[:3 * S] += (prior_c[:, None] * cq).ravel()
+        prior_s = np.where(free, 1e-6 * wmax, 1e4 * wmax)
+        _block_triplets(sid, sid, prior_s[:, None, None], rows, cols, vals,
+                        stride_r=1, stride_c=1, off_r=3 * S, off_c=3 * S)
+        b[3 * S:] += prior_s * 1.0
+        sol = _sparse_solve(rows, cols, vals, n_var, b)
+        c_new = sol[:3 * S].reshape(S, 3)
+        sig_s = sol[3 * S:]
+        r_e = np.linalg.norm(
+            (c_new[jj] - c_new[ii]) - sig_s[ii, None] * u, axis=-1)
+        # floored by the pre-trim so dragged solutions cannot resurrect
+        # the garbage they were dragged by
+        rob = np.minimum(rob, _trim(r_e))
+    sigma = np.clip(sig_s, 0.2, 5.0)
 
     # ---- apply per-submap world similarity with seam blending ------------
     # world map of submap s: x' = sigma_s R_w x + t_w, derived from the

@@ -144,7 +144,7 @@ def test_submap_align_repairs_large_drift():
     e2 = np.abs(_centers(out2) - _centers(gt)).max()
     assert e2 < 0.2 * e0, (e0, e1, e2)    # measured: 2.285 -> 0.31
     r2 = np.abs(out2[:, :3, :3] - gt[:, :3, :3]).max()
-    assert r2 < 1e-3, r2
+    assert r2 < 5e-3, r2        # sub-0.3 deg
 
 
 def test_submap_align_absorbs_scale_drift():
