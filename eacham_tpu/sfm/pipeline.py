@@ -763,13 +763,17 @@ def resume_sfm(
     options: SfmOptions = SfmOptions(),
     excluded: jnp.ndarray | None = None,
     verbose: bool = True,
+    finalize: bool = True,
 ):
     """Continue a reconstruction from a (possibly checkpointed) Scene.
 
     Re-runs the on-device registration sweep over still-unregistered frames
-    and the global-BA finalization. With io.checkpoint this gives
-    stop/resume — an ability the reference lacks entirely (SURVEY.md §5
-    "Checkpoint / resume: none").
+    and (with ``finalize``) the global-BA finalization. With io.checkpoint
+    this gives stop/resume — an ability the reference lacks entirely
+    (SURVEY.md §5 "Checkpoint / resume: none"). ``finalize=False`` is the
+    streaming fast path: new frames get local-window refinement only, and
+    the caller amortizes the global solve over windows
+    (StreamingReconstructor ``finalize_every``).
     """
     opt = options
     N = scene.kp_mask.shape[0]
@@ -819,6 +823,14 @@ def resume_sfm(
         segment=opt.sweep_segment,
     )
     log(f"resume sweep: +{int(n_reg)} frames registered")
+    if not finalize:
+        reg = int(jnp.sum(scene.pose_valid & ~excluded))
+        return scene, {
+            "registered": reg,
+            "landmarks": int(jnp.sum(scene.lm_valid)),
+            "initialized": True,
+            "finalized": False,
+        }
     return _finalize(scene, excluded, opt, global_cfg, -1, -1, N, log,
                      fp_tbl=fp_tbl)
 

@@ -53,12 +53,20 @@ class StreamingReconstructor:
         window: int = 6,
         retrieval_k: int = 2,
         desc_dim: int = 256,
+        finalize_every: int = 1,
     ):
         self.image_size = image_size
         self.opt = options
         self.window = window
         self.retrieval_k = retrieval_k
         self.max_frames = max_frames
+        # sensor-rate amortization: the global-BA finalize is the
+        # superlinear per-window cost (it solves ALL arrived frames); run
+        # it on every k-th window only — in between, new frames get the
+        # sweep's local-window refinement, which is O(window) per frame.
+        # Callers polish on demand with .finalize() at stream end.
+        self.finalize_every = max(1, int(finalize_every))
+        self._windows_seen = 0
         K = options.max_features
         self.K = K
         N = max_frames
@@ -196,8 +204,18 @@ class StreamingReconstructor:
             return {"initialized": False, "registered": 0,
                     "arrived": self.n_frames}
 
+        self._windows_seen += 1
+        do_finalize = (self._windows_seen % self.finalize_every == 0)
         self.scene, stats = resume_sfm(
-            self.scene, options=self.opt, verbose=verbose)
+            self.scene, options=self.opt, verbose=verbose,
+            finalize=do_finalize)
+        stats["arrived"] = self.n_frames
+        return stats
+
+    def finalize(self, verbose: bool = False) -> dict:
+        """Run the full global-BA finalization on demand (stream end)."""
+        self.scene, stats = resume_sfm(
+            self.scene, options=self.opt, verbose=verbose, finalize=True)
         stats["arrived"] = self.n_frames
         return stats
 
@@ -218,7 +236,8 @@ class StreamingReconstructor:
 
     @classmethod
     def restore(cls, path: str | Path, image_size, options=SfmOptions(),
-                window: int = 6, retrieval_k: int = 2):
+                window: int = 6, retrieval_k: int = 2,
+                finalize_every: int = 1):
         from eacham_tpu.io.checkpoint import load_scene
 
         scene, extra = load_scene(path)
@@ -227,6 +246,8 @@ class StreamingReconstructor:
         self.opt = options
         self.window = window
         self.retrieval_k = retrieval_k
+        self.finalize_every = max(1, int(finalize_every))
+        self._windows_seen = 0
         self.K = scene.kp_mask.shape[1]
         self.max_frames = scene.kp_mask.shape[0]
         self.pair_capacity = scene.pair_idx.shape[0]

@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--ba-every", type=int, default=1,
                     help="run the windowed local BA on every M-th "
                          "registration (SfmOptions.local_ba_every)")
+    ap.add_argument("--lm-capacity", type=int, default=131072)
     ap.add_argument("--free-span", type=int, default=0,
                     help="freeze window-BA cams more than this many ids "
                          "from the current frame (0 = all free)")
@@ -81,6 +82,8 @@ def main():
     # radius 8 gives 10-frame pairs ~4-5 deg of parallax — comfortably
     # above the 0.8 deg triangulation floor (0.12 deg/frame drowned the
     # map in depth noise; a straight 0.04/frame walk left the field)
+    img_cache = (Path(str(cache) + ".imgs.npy")
+                 if cache is not None else None)
     center = np.array([0.0, 0.0, 9.0], np.float32)
     orbit_r = 14.0   # field half-extent ~7 -> blobs sit 7-21 units away
     poses = []
@@ -100,17 +103,24 @@ def main():
         poses.append(T)
     poses = np.stack(poses)
     if cached is None:
-        t0 = time.perf_counter()
-        # textured SURFACE world (blobs on a jittered sphere): a volumetric
-        # blob cloud cannot support wide-baseline matching — overlapping
-        # blobs at different depths rearrange every descriptor window
-        # between views (see make_surface_scene docstring for the numbers)
-        scene_blobs = make_surface_scene(rng, n_blobs=4000, jitter=0.05)
-        images = np.stack([
-            render_view(scene_blobs, T, intr, W, H) for T in poses
-        ])
-        print(f"rendered {N} frames {W}x{H} in "
-              f"{time.perf_counter() - t0:.0f}s", flush=True)
+        if img_cache is not None and img_cache.exists():
+            images = np.load(img_cache, mmap_mode="r")
+            assert images.shape == (N, H, W), images.shape
+            print(f"images from cache {img_cache}", flush=True)
+        else:
+            t0 = time.perf_counter()
+            # textured SURFACE world (blobs on a jittered sphere): a
+            # volumetric blob cloud cannot support wide-baseline matching —
+            # overlapping blobs at different depths rearrange every
+            # descriptor window between views (make_surface_scene docstring)
+            scene_blobs = make_surface_scene(rng, n_blobs=4000, jitter=0.05)
+            images = np.stack([
+                render_view(scene_blobs, T, intr, W, H) for T in poses
+            ])
+            print(f"rendered {N} frames {W}x{H} in "
+                  f"{time.perf_counter() - t0:.0f}s", flush=True)
+            if img_cache is not None and N > 1000:
+                np.save(img_cache, images)
 
     opts = SfmOptions(
         pair_window=10, pair_retrieval_k=args.retrieval_k,
@@ -118,7 +128,7 @@ def main():
         min_initial_inliers=80, min_matches=20, match_ratio=0.85,
         init_min_tri_angle_deg=0.8, min_tri_angle_deg=0.8,
         ransac_hyps_e=256, ransac_hyps_h=128, ransac_hyps_pnp=256,
-        lm_capacity=131072, refine_max_iters=30,
+        lm_capacity=args.lm_capacity, refine_max_iters=30,
         global_max_iters=args.global_iters,
         match_chunk=32, interim_ba_iters=args.interim,
         loop_close=bool(args.loop_close),
@@ -129,8 +139,19 @@ def main():
 
     if cached is None:
         t0 = time.perf_counter()
-        xy, desc, score, mask = extract_features(
-            jnp.asarray(images), max_keypoints=args.kps)
+        # chunked extraction: the whole 4500-frame batch (3.5 GB of
+        # images + pyramid intermediates) crashes the 16 GB chip — the
+        # first KITTI-scale wall found (r3 rehearsal log)
+        ex_chunk = 500
+        parts = []
+        for lo in range(0, N, ex_chunk):
+            part = extract_features(
+                jnp.asarray(images[lo:lo + ex_chunk]),
+                max_keypoints=args.kps)
+            parts.append(tuple(np.asarray(a) for a in part))
+        xy, desc, score, mask = (
+            jnp.asarray(np.concatenate([p[i] for p in parts]))
+            for i in range(4))
         np.asarray(xy)
         t_extract = time.perf_counter() - t0
         print(f"extract: {t_extract:.1f}s", flush=True)
