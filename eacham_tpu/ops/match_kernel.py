@@ -24,6 +24,10 @@ ROW_TILE = 128
 NEG = -1e30
 
 
+QSCALE = 16384.0
+IMIN = -(2 ** 30)
+
+
 def _match_kernel(d1_ref, d2_ref, m1_ref, m2_ref,
                   b1_ref, a1_ref, s1_ref, b2_ref, a2_ref, s2_ref,
                   colmax_ref, colarg_ref, colsec_ref):
@@ -39,54 +43,67 @@ def _match_kernel(d1_ref, d2_ref, m1_ref, m2_ref,
     # are unsupported by Mosaic
     live1 = m1_ref[0, :].astype(jnp.float32)    # [ROW_TILE]
     live2 = m2_ref[0, :].astype(jnp.float32)    # [K2]
-    live = live1[:, None] * live2[None, :]
-    sim = sim * live + (live - 1.0) * (-NEG)
+    dead = (live1[:, None] * live2[None, :]) < 0.5
+
+    # packed top-2 (see features/matching._top2_packed): quantize sim to
+    # 2^-14 steps and pack the lane index into the low int32 bits — one
+    # max then carries best AND argmax, and the unique packing makes the
+    # exact second-best one equality-masked max. This removes the two
+    # argmax composites and their iota/select re-scans, which dominated
+    # the kernel's VPU time (the matmul is 34 ms of a ~390 ms call at
+    # 2048 pairs, K=1024 — measured r3).
+    K2 = sim.shape[1]
+    T = sim.shape[0]
+    cbits = max(K2 - 1, 1).bit_length()
+    rbits = max(T - 1, 1).bit_length()
+    q = jnp.round(sim * QSCALE).astype(jnp.int32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 0)
+    qc = jnp.where(dead, IMIN, (q << cbits) | cols)
+    qr = jnp.where(dead, IMIN, (q << rbits) | rows)
+
+    def unpack(v, bits):
+        return jnp.where(v == IMIN, NEG,
+                         (v >> bits).astype(jnp.float32) / QSCALE)
 
     # --- row-wise top-2 ----------------------------------------------------
-    best = jnp.max(sim, axis=1)
-    arg = jnp.argmax(sim, axis=1).astype(jnp.int32)
-    k2 = sim.shape[1]
-    cols = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
-    masked = jnp.where(cols == arg[:, None], NEG, sim)
-    second = jnp.max(masked, axis=1)
-    b1_ref[0, :] = best
-    a1_ref[0, :] = arg
-    s1_ref[0, :] = second
+    top = jnp.max(qc, axis=1)
+    sec = jnp.max(jnp.where(qc == top[:, None], IMIN, qc), axis=1)
+    b1_ref[0, :] = unpack(top, cbits)
+    a1_ref[0, :] = top & (2 ** cbits - 1)
+    s1_ref[0, :] = unpack(sec, cbits)
 
-    # --- column-wise running top-2 across row tiles ------------------------
-    col_best = jnp.max(sim, axis=0)          # [K2]
-    col_arg_t = jnp.argmax(sim, axis=0).astype(jnp.int32)
-    col_arg_local = col_arg_t + i * ROW_TILE
-    rows = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 0)
-    col_second = jnp.max(
-        jnp.where(rows == col_arg_t[None, :], NEG, sim), axis=0
-    )
+    # --- column-wise running top-2 across row tiles (packed) ---------------
+    ctop = jnp.max(qr, axis=0)               # [K2]
+    csec = jnp.max(jnp.where(qr == ctop[None, :], IMIN, qr), axis=0)
+    carg = (ctop & (2 ** rbits - 1)) + i * ROW_TILE
 
     @pl.when(i == 0)
     def _():
-        colmax_ref[0, :] = col_best
-        colarg_ref[0, :] = col_arg_local
-        colsec_ref[0, :] = col_second
+        colmax_ref[0, :] = ctop
+        colarg_ref[0, :] = carg
+        colsec_ref[0, :] = csec
 
     @pl.when(i > 0)
     def _():
         prev = colmax_ref[0, :]
         prev_sec = colsec_ref[0, :]
-        take_new = col_best > prev
-        # merged second-best of two (best, second) summaries:
+        take_new = ctop > prev
+        # merged second-best of two (best, second) summaries (packed
+        # ints order by value first, so the min/max identity holds):
         # max(second_a, second_b, min(best_a, best_b))
         merged_sec = jnp.maximum(
-            jnp.maximum(prev_sec, col_second), jnp.minimum(prev, col_best)
+            jnp.maximum(prev_sec, csec), jnp.minimum(prev, ctop)
         )
-        colmax_ref[0, :] = jnp.where(take_new, col_best, prev)
-        colarg_ref[0, :] = jnp.where(take_new, col_arg_local, colarg_ref[0, :])
+        colmax_ref[0, :] = jnp.where(take_new, ctop, prev)
+        colarg_ref[0, :] = jnp.where(take_new, carg, colarg_ref[0, :])
         colsec_ref[0, :] = merged_sec
 
     @pl.when(i == n_rows - 1)
     def _():
-        b2_ref[0, :] = colmax_ref[0, :]
+        b2_ref[0, :] = unpack(colmax_ref[0, :], rbits)
         a2_ref[0, :] = colarg_ref[0, :]
-        s2_ref[0, :] = colsec_ref[0, :]
+        s2_ref[0, :] = unpack(colsec_ref[0, :], rbits)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -140,9 +157,9 @@ def match_pair_fused(
             pl.BlockSpec((1, K2), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((1, K2), jnp.float32),
-            pltpu.VMEM((1, K2), jnp.int32),
-            pltpu.VMEM((1, K2), jnp.float32),
+            pltpu.VMEM((1, K2), jnp.int32),    # packed col best
+            pltpu.VMEM((1, K2), jnp.int32),    # global col argmax
+            pltpu.VMEM((1, K2), jnp.int32),    # packed col second
         ],
         interpret=interpret,
     )(
