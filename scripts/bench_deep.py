@@ -1,0 +1,128 @@
+"""Deep-frontend benchmark: fps + ATE at N=100 with windowed pairs.
+
+The deep twin of bench.py (VERDICT r2 #4 "bench the deep path at 100
+frames ... with windowed pairs"): images -> SuperPoint extract ->
+LightGlue windowed matching (+ epipolar verify) -> run_sfm, ATE-gated,
+np.asarray-fetch timing.
+
+    python scripts/bench_deep.py [--frames 100 --window 10]
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--window", type=int, default=10)
+    ap.add_argument("--kps", type=int, default=512)
+    args = ap.parse_args()
+
+    from eacham_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    from eacham_tpu.features.deep import lightglue as lg
+    from eacham_tpu.features.deep import superpoint as sp
+    from eacham_tpu.features.deep.frontend import (
+        build_match_tables_deep, extract_deep_batch,
+    )
+    from eacham_tpu.geometry.camera import intrinsics_from_image_size
+    from eacham_tpu.sfm import SfmOptions, run_sfm
+    from eacham_tpu.utils.evaluate import ate_rmse
+    from eacham_tpu.utils.synthetic import (
+        make_blob_scene, orbit_poses, render_view,
+    )
+
+    N = args.frames
+    W, H = 512, 384
+    f = 1.2 * max(W, H)
+    intr = np.array([f, f, W / 2, H / 2], np.float32)
+    rng = np.random.default_rng(0)
+    scene_b = make_blob_scene(rng, n_blobs=900, depth=(3.5, 9.0), spread=2.6)
+    poses = orbit_poses(N, radius=0.6, step_deg=0.5, advance=0.03)
+    t0 = time.perf_counter()
+    images = np.stack([render_view(scene_b, T, intr, W, H) for T in poses])
+    print(f"# rendered {N} frames in {time.perf_counter() - t0:.1f}s",
+          flush=True)
+
+    key = jax.random.PRNGKey(0)
+    sp_params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32),
+        lg.load_params(ROOT / "weights" / "superpoint.npz",
+                       sp.init_params(key)))
+    meta = (ROOT / "weights" / "lightglue.meta").read_text()
+    n_layers = int([l for l in meta.splitlines()
+                    if l.startswith("n_layers")][0].split("=")[1])
+    lg_params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32),
+        lg.load_params(ROOT / "weights" / "lightglue.npz",
+                       lg.init_params(key, n_layers=n_layers)))
+
+    opts = SfmOptions(
+        min_initial_inliers=60, min_matches=20, match_ratio=0.85,
+        init_min_tri_angle_deg=1.0, min_tri_angle_deg=1.0,
+        ransac_hyps_e=256, ransac_hyps_h=128, ransac_hyps_pnp=256,
+        lm_capacity=16384, refine_max_iters=30, global_max_iters=50,
+        local_ba_every=3,
+    )
+
+    def full():
+        t0 = time.perf_counter()
+        xy, desc, score, mask = extract_deep_batch(
+            sp_params, jnp.asarray(images), max_keypoints=args.kps)
+        np.asarray(xy)
+        t_ex = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        tables = build_match_tables_deep(
+            lg_params, xy, desc, mask, (W, H), n_layers=n_layers,
+            min_matches=opts.min_matches, pair_window=args.window,
+            retrieval_k=3,
+            verify=(intrinsics_from_image_size(W, H),
+                    jax.random.PRNGKey(7), opts.max_repr_error,
+                    opts.verify_hyps))
+        np.asarray(tables[1])
+        t_match = time.perf_counter() - t0
+        scene, stats = run_sfm(
+            xy, desc, mask, image_size=(W, H), intr=jnp.asarray(intr),
+            options=opts, verbose=False, match_tables=tables)
+        np.asarray(scene.pose)
+        return scene, stats, t_ex, t_match
+
+    t0 = time.perf_counter()
+    full()
+    print(f"# warmup: {time.perf_counter() - t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    scene, stats, t_ex, t_match = full()
+    total = time.perf_counter() - t0
+
+    valid = np.asarray(scene.pose_valid)
+    est = np.asarray(scene.pose)[valid]
+    gt = poses[valid]
+    ce = -np.einsum("nij,ni->nj", est[:, :3, :3], est[:, :3, 3])
+    cg = -np.einsum("nij,ni->nj", gt[:, :3, :3], gt[:, :3, 3])
+    rmse = ate_rmse(ce, cg)
+    print(f"# registered {stats['registered']}/{N}, ATE {rmse:.4f} "
+          f"(extract {t_ex:.2f}s, match {t_match:.2f}s, total {total:.2f}s)",
+          flush=True)
+    print(json.dumps({
+        "metric": "deep_sfm_frames_per_s",
+        "value": round(N / total, 3),
+        "unit": "frames/s",
+        "ate": round(float(rmse), 4),
+        "registered": int(stats["registered"]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
