@@ -107,55 +107,86 @@ def _huber_sqrt_weight(r_norm: jnp.ndarray, k: float) -> jnp.ndarray:
     return jnp.sqrt(jnp.minimum(1.0, k / jnp.maximum(r_norm, _EPS)))
 
 
-def _obs_linearize(poses, points, intr, p: BAProblem):
-    """Per-observation whitened residuals + Jacobians at the current state.
+def _obs_linearize_t(poses, points, intr, p: BAProblem):
+    """Per-observation whitened residuals + Jacobians, TRANSPOSED layout.
 
-    Returns r [O,2], Jc [O,2,6], Jp [O,2,3], Jk [O,2,2], w_mask [O].
+    Returns r [2,O], Jc [2,6,O], Jp [2,3,O], Jk [2,2,O], w_mask [O].
+
+    The observation axis is the MINOR (lane) dim of every array: TPU
+    tiles the last two dims of a materialized tensor to (8, 128), so a
+    standard [O, 2, 6] Jacobian physically occupies ~85x its logical
+    bytes once a consumer forces it resident, and even the [O, 4, 4]
+    pose gather of ba_cost inflates 16x — measured 8.6 GB for the cost
+    alone at the KITTI-scale O=2.1M (r3). With [.., O] layouts the same
+    code compiles to 1.26 GB.
     """
-    T = poses[p.obs_cam]                      # [O, 4, 4]
-    X = points[p.obs_pt]                      # [O, 3]
-    pc = jnp.einsum("oij,oj->oi", T[:, :3, :3], X) + T[:, :3, 3]
-    z = pc[:, 2]
+    # pack [R(9) | t(3)] per camera (row-major R), transpose once (tiny)
+    P_t = jnp.concatenate(
+        [poses[:, :3, :3].reshape(-1, 9), poses[:, :3, 3]], axis=1).T
+    Tg = P_t[:, p.obs_cam]                        # [12, O]
+    R = Tg[:9].reshape(3, 3, p.obs_cam.shape[0])
+    t_cam = Tg[9:]
+    X = points.T[:, p.obs_pt]                     # [3, O]
+    # broadcast-sum, NOT einsum: a dot_general with the O axis as its
+    # batch dim makes XLA transpose operands into [O, a, b] layouts
+    # (tiled 42-85x) — measured 6.6 GB of temp at O=2.1M from these
+    # tiny contractions alone
+    pc = jnp.sum(R * X[None], axis=1) + t_cam     # [3, O]
+    z = pc[2]
     good = p.obs_mask & p.cam_in_ba[p.obs_cam] & p.pt_in_ba[p.obs_pt] & (z > 1e-4)
     z_safe = jnp.where(z > 1e-4, z, 1.0)
     inv_z = 1.0 / z_safe
     fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
-    u = fx * pc[:, 0] * inv_z + cx
-    v = fy * pc[:, 1] * inv_z + cy
-    r = jnp.stack([u, v], -1) - p.obs_uv      # [O, 2] pixels
+    u = fx * pc[0] * inv_z + cx
+    v = fy * pc[1] * inv_z + cy
+    r = jnp.stack([u, v], 0) - p.obs_uv.T         # [2, O] pixels
 
     # whiten + robustify
     r_w = r / PX_SIGMA
-    w = _huber_sqrt_weight(jnp.linalg.norm(r_w, axis=-1), PX_HUBER)
+    w = _huber_sqrt_weight(jnp.sqrt(jnp.sum(r_w * r_w, 0)), PX_HUBER)
     w = jnp.where(good, w, 0.0)
 
     zeros = jnp.zeros_like(z)
-    du_dpc = jnp.stack(
-        [fx * inv_z, zeros, -fx * pc[:, 0] * inv_z * inv_z], -1
-    )
-    dv_dpc = jnp.stack(
-        [zeros, fy * inv_z, -fy * pc[:, 1] * inv_z * inv_z], -1
-    )
-    J_pc = jnp.stack([du_dpc, dv_dpc], -2)    # [O, 2, 3]
+    J_pc = jnp.stack([
+        jnp.stack([fx * inv_z, zeros, -fx * pc[0] * inv_z * inv_z], 0),
+        jnp.stack([zeros, fy * inv_z, -fy * pc[1] * inv_z * inv_z], 0),
+    ], 0)                                          # [2, 3, O]
 
     # left-perturbation of the pose: dpc/d(omega, v) = [-[pc]_x | I]
-    dpc_dxi = jnp.concatenate(
-        [-hat(pc), jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), pc.shape[:1] + (3, 3))],
-        axis=-1,
-    )                                          # [O, 3, 6]
-    Jc = J_pc @ dpc_dxi                        # [O, 2, 6]
-    Jp = J_pc @ T[:, :3, :3]                   # [O, 2, 3]
-    Jk = jnp.stack(
-        [
-            jnp.stack([pc[:, 0] * inv_z, zeros], -1),
-            jnp.stack([zeros, pc[:, 1] * inv_z], -1),
-        ],
-        -2,
-    )                                          # [O, 2, 2] d(u,v)/d(fx,fy)
+    one = jnp.ones_like(z)
+    hat_t = jnp.stack([
+        jnp.stack([zeros, pc[2], -pc[1]], 0),
+        jnp.stack([-pc[2], zeros, pc[0]], 0),
+        jnp.stack([pc[1], -pc[0], zeros], 0),
+    ], 0)                                          # [3, 3, O] = -hat(pc)
+    eye_t = jnp.stack([
+        jnp.stack([one, zeros, zeros], 0),
+        jnp.stack([zeros, one, zeros], 0),
+        jnp.stack([zeros, zeros, one], 0),
+    ], 0)
+    dpc_dxi = jnp.concatenate([hat_t, eye_t], axis=1)   # [3, 6, O]
+    Jc = jnp.sum(J_pc[:, :, None, :] * dpc_dxi[None], axis=1)  # [2,6,O]
+    Jp = jnp.sum(J_pc[:, :, None, :] * R[None], axis=1)        # [2,3,O]
+    Jk = jnp.stack([
+        jnp.stack([pc[0] * inv_z, zeros], 0),
+        jnp.stack([zeros, pc[1] * inv_z], 0),
+    ], 0)                                          # [2, 2, O] d(u,v)/d(fx,fy)
 
-    scale = (w / PX_SIGMA)[:, None]
-    r_out = r_w * w[:, None]
-    return r_out, Jc * scale[..., None], Jp * scale[..., None], Jk * scale[..., None], w
+    scale = (w / PX_SIGMA)[None]
+    r_out = r_w * w[None]
+    return (r_out, Jc * scale[None], Jp * scale[None], Jk * scale[None], w)
+
+
+def _obs_linearize(poses, points, intr, p: BAProblem):
+    """Standard-layout wrapper (dense/dogleg paths on window-sized O —
+    the transpose materializes the tiled [O, 2, 6] form, fine at local
+    sizes, prohibitive at global ones; see _obs_linearize_t).
+
+    Returns r [O,2], Jc [O,2,6], Jp [O,2,3], Jk [O,2,2], w_mask [O].
+    """
+    r_t, Jc_t, Jp_t, Jk_t, w = _obs_linearize_t(poses, points, intr, p)
+    return (r_t.T, Jc_t.transpose(2, 0, 1), Jp_t.transpose(2, 0, 1),
+            Jk_t.transpose(2, 0, 1), w)
 
 
 def _prior_terms(poses, points, intr, p: BAProblem, anchors, cfg: BAConfig):
@@ -207,20 +238,71 @@ def _reduce(x, axis_name):
     return jax.lax.psum(x, axis_name) if axis_name else x
 
 
+# --- memory-shaped segment sums ---------------------------------------------
+# TPU tiles the LAST TWO dims of every materialized array to (8, 128);
+# segment_sum forces its input to materialize, so the classic
+# einsum("oki,okj->oij") -> segment_sum pattern physically allocates the
+# [O, 6, 6] intermediate at a 28x inflation (measured: 3.2 GB for a 113 MB
+# logical tensor at O=786k) — the direct cause of the KITTI-scale BA OOM
+# (r3 4500-frame rehearsal). Two shapes fix it at IDENTICAL runtime
+# (measured 92-96 ms / 42-43 ms on v5e):
+#   * outer products: accumulate [n, a, b] over obs CHUNKS with lax.scan
+#     (live intermediate is one chunk: 675 MB total at O=786k)
+#   * J^T-vector sums: emit the [a, O] TRANSPOSED product (minor dims
+#     (a, O) tile at ~1.3x) and scatter-add along the last axis
+
+_SEG_CHUNK = 65536
+
+
+def _seg_outer(J1, J2, idx, n, axis_name):
+    """segment_sum(einsum("oki,okj->oij", J1, J2), idx, n) without the
+    tiled [O, a, b] intermediate."""
+    O = J1.shape[0]
+    a, b = J1.shape[2], J2.shape[2]
+    if O <= _SEG_CHUNK:
+        out = jax.ops.segment_sum(
+            jnp.einsum("oki,okj->oij", J1, J2), idx, num_segments=n)
+        return _reduce(out, axis_name)
+    pad = (-O) % _SEG_CHUNK
+    if pad:
+        J1 = jnp.concatenate([J1, jnp.zeros((pad,) + J1.shape[1:], J1.dtype)])
+        J2 = jnp.concatenate([J2, jnp.zeros((pad,) + J2.shape[1:], J2.dtype)])
+        idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
+    def step(acc, args):
+        j1, j2, ii = args
+        return acc.at[ii].add(jnp.einsum("oki,okj->oij", j1, j2)), None
+    acc = jnp.zeros((n, a, b), J1.dtype)
+    resh = lambda x: x.reshape(-1, _SEG_CHUNK, *x.shape[1:])
+    acc, _ = jax.lax.scan(step, acc, (resh(J1), resh(J2), resh(idx)))
+    return _reduce(acc, axis_name)
+
+
+def _seg_vec(J, t, idx, n, axis_name):
+    """segment_sum(einsum("oki,ok->oi", J, t), idx, n) via the transposed
+    [a, O] product + last-axis scatter (no tiled [O, a] intermediate)."""
+    u = jnp.einsum("oki,ok->io", J, t)                      # [a, O]
+    out = jnp.zeros((u.shape[0], n), J.dtype).at[:, idx].add(u)
+    return _reduce(out.T, axis_name)
+
+
 def ba_cost(poses, points, intr, p: BAProblem, anchors=None, cfg: BAConfig = BAConfig(),
             axis_name: str | None = None):
     """Total robust cost 0.5 * sum(rho(r)) — comparable to GTSAM's
-    graph.error printout (BundleAdjuster.cpp:218-219)."""
-    T = poses[p.obs_cam]
-    X = points[p.obs_pt]
-    pc = jnp.einsum("oij,oj->oi", T[:, :3, :3], X) + T[:, :3, 3]
-    z = pc[:, 2]
+    graph.error printout (BundleAdjuster.cpp:218-219). Transposed per-obs
+    layout (see _obs_linearize_t): measured 8.6 -> 1.3 GB at O=2.1M."""
+    P_t = jnp.concatenate(
+        [poses[:, :3, :3].reshape(-1, 9), poses[:, :3, 3]], axis=1).T
+    Tg = P_t[:, p.obs_cam]                        # [12, O]
+    R = Tg[:9].reshape(3, 3, -1)
+    X = points.T[:, p.obs_pt]
+    pc = jnp.sum(R * X[None], axis=1) + Tg[9:]
+    z = pc[2]
     good = p.obs_mask & p.cam_in_ba[p.obs_cam] & p.pt_in_ba[p.obs_pt]
     z_safe = jnp.where(z > 1e-4, z, 1.0)
-    u = intr[0] * pc[:, 0] / z_safe + intr[2]
-    v = intr[1] * pc[:, 1] / z_safe + intr[3]
-    r = (jnp.stack([u, v], -1) - p.obs_uv) / PX_SIGMA
-    rn = jnp.linalg.norm(r, axis=-1)
+    u = intr[0] * pc[0] / z_safe + intr[2]
+    v = intr[1] * pc[1] / z_safe + intr[3]
+    r = (jnp.stack([u, v], 0) - p.obs_uv.T) / PX_SIGMA
+    rn = jnp.sqrt(jnp.sum(r * r, 0))
     rn = jnp.where(z > 1e-4, rn, 2.0 * PX_HUBER + rn * 0.0 + 100.0)  # behind camera: big
     rho = jnp.where(
         rn <= PX_HUBER, 0.5 * rn * rn, PX_HUBER * rn - 0.5 * PX_HUBER * PX_HUBER
@@ -260,8 +342,8 @@ def _blocks(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig,
         return _reduce(jax.ops.segment_sum(x, idx, num_segments=L), axis_name)
 
     # --- diagonal blocks ---------------------------------------------------
-    U_obs = seg_c(jnp.einsum("oki,okj->oij", Jc, Jc), p.obs_cam)    # [N,6,6]
-    V_obs = seg_p(jnp.einsum("oki,okj->oij", Jp, Jp), p.obs_pt)     # [L,3,3]
+    U_obs = _seg_outer(Jc, Jc, p.obs_cam, N, axis_name)             # [N,6,6]
+    V_obs = _seg_outer(Jp, Jp, p.obs_pt, L, axis_name)              # [L,3,3]
     Ukk_obs = _reduce(jnp.einsum("oki,okj->ij", Jk, Jk), axis_name)  # [2,2]
 
     U = U_obs + jax.vmap(jnp.diag)(j_pose * j_pose)
@@ -294,8 +376,8 @@ def _blocks(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig,
     Vinv = inv3x3(V)                                                # [L,3,3]
 
     # --- gradients ----------------------------------------------------------
-    b_c = -seg_c(jnp.einsum("oki,ok->oi", Jc, r), p.obs_cam) - r_pose * j_pose
-    b_p = -seg_p(jnp.einsum("oki,ok->oi", Jp, r), p.obs_pt) - r_pt * j_pt
+    b_c = -_seg_vec(Jc, r, p.obs_cam, N, axis_name) - r_pose * j_pose
+    b_p = -_seg_vec(Jp, r, p.obs_pt, L, axis_name) - r_pt * j_pt
     b_k = -_reduce(jnp.einsum("oki,ok->i", Jk, r), axis_name) - r_k * j_k
     b_c = b_c * cam_w
     b_p = b_p * pt_w
@@ -303,11 +385,11 @@ def _blocks(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig,
     # reduced RHS: b~ = b_cams - W V^-1 b_p
     h = jnp.einsum("lij,lj->li", Vinv, b_p)                         # [L,3]
     t = jnp.einsum("oki,oi->ok", Jp, h[p.obs_pt])                   # [O,2]
-    b_red_c = b_c - seg_c(jnp.einsum("oki,ok->oi", Jc, t), p.obs_cam) * cam_w
+    b_red_c = b_c - _seg_vec(Jc, t, p.obs_cam, N, axis_name) * cam_w
     b_red_k = b_k - _reduce(jnp.einsum("oki,ok->i", Jk, t), axis_name)
 
     return dict(
-        N=N, L=L, seg_c=seg_c, seg_p=seg_p,
+        N=N, L=L, seg_c=seg_c, seg_p=seg_p, axis_name=axis_name,
         cam_upd=cam_upd, cam_w=cam_w, pt_w=pt_w,
         U=U, V=V, Ukk=Ukk, Vinv=Vinv,
         extra_diag_c=extra_diag_c, extra_diag_k=extra_diag_k,
@@ -315,12 +397,183 @@ def _blocks(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig,
     )
 
 
+def _seg_outer_t(J1_t, J2_t, idx, n, axis_name):
+    """_seg_outer for transposed [k, a, O] Jacobians."""
+    O = J1_t.shape[-1]
+    a, b = J1_t.shape[1], J2_t.shape[1]
+    if O <= _SEG_CHUNK:
+        u = jnp.sum(J1_t[:, :, None, :] * J2_t[:, None, :, :], axis=0)
+        out = jax.ops.segment_sum(
+            jnp.moveaxis(u, -1, 0), idx, num_segments=n)
+        return _reduce(out, axis_name)
+    pad = (-O) % _SEG_CHUNK
+    if pad:
+        z = lambda x: jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1)
+        J1_t, J2_t = z(J1_t), z(J2_t)
+        idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
+    nc = (O + pad) // _SEG_CHUNK
+    resh = lambda x: jnp.moveaxis(
+        x.reshape(*x.shape[:-1], nc, _SEG_CHUNK), -2, 0)
+
+    def step(acc, args):
+        j1, j2, ii = args
+        u = jnp.sum(j1[:, :, None, :] * j2[:, None, :, :], axis=0)
+        return acc.at[ii].add(jnp.moveaxis(u, -1, 0)), None
+
+    acc = jnp.zeros((n, a, b), J1_t.dtype)
+    acc, _ = jax.lax.scan(
+        step, acc,
+        (resh(J1_t), resh(J2_t), idx.reshape(nc, _SEG_CHUNK)))
+    return _reduce(acc, axis_name)
+
+
+def _seg_vec_t(J_t, t_t, idx, n, axis_name):
+    """_seg_vec for transposed inputs: J [k, a, O], t [k, O] -> [n, a]."""
+    u = jnp.sum(J_t * t_t[:, None, :], axis=0)
+    out = jnp.zeros((u.shape[0], n), J_t.dtype).at[:, idx].add(u)
+    return _reduce(out.T, axis_name)
+
+
+def _blocks_t(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig,
+              axis_name: str | None = None):
+    """_blocks on the transposed per-obs layout (r [2,O], J* [k,a,O]) —
+    the global/PCG path's memory-critical twin of _blocks."""
+    N = p.poses.shape[0]
+    L = p.points.shape[0]
+    (r_pose, j_pose), (r_pt, j_pt), (r_k, j_k) = priors
+
+    cam_upd = p.cam_in_ba & (~p.cam_fixed)
+    cam_w = cam_upd[:, None].astype(r.dtype)
+    pt_w = p.pt_in_ba[:, None].astype(r.dtype)
+
+    U_obs = _seg_outer_t(Jc, Jc, p.obs_cam, N, axis_name)           # [N,6,6]
+    V_obs = _seg_outer_t(Jp, Jp, p.obs_pt, L, axis_name)            # [L,3,3]
+    Ukk_obs = _reduce(jnp.sum(
+        Jk[:, :, None, :] * Jk[:, None, :, :], axis=(0, 3)), axis_name)
+
+    U = U_obs + jax.vmap(jnp.diag)(j_pose * j_pose)
+    V = V_obs + jax.vmap(jnp.diag)(j_pt * j_pt)
+    Ukk = Ukk_obs + jnp.diag(j_k * j_k)
+
+    def damp(M, on):
+        d = jnp.diagonal(M, axis1=-2, axis2=-1)
+        D = jax.vmap(jnp.diag)(lam * d + 1e-8)
+        out = M + D
+        eye = jnp.eye(M.shape[-1], dtype=M.dtype)
+        return jnp.where(on[:, None, None], out, eye[None])
+
+    U = damp(U, cam_upd)
+    V = damp(V, p.pt_in_ba)
+    Ukk = Ukk + jnp.diag(lam * jnp.diagonal(Ukk) + 1e-8)
+    extra_diag_c = jnp.diagonal(U, axis1=-2, axis2=-1) - jnp.diagonal(
+        U_obs, axis1=-2, axis2=-1)
+    extra_diag_k = jnp.diagonal(Ukk) - jnp.diagonal(Ukk_obs)
+    Vinv = inv3x3(V)
+
+    b_c = -_seg_vec_t(Jc, r, p.obs_cam, N, axis_name) - r_pose * j_pose
+    b_p = -_seg_vec_t(Jp, r, p.obs_pt, L, axis_name) - r_pt * j_pt
+    b_k = -_reduce(jnp.sum(Jk * r[:, None, :], axis=(0, 2)),
+                   axis_name) - r_k * j_k
+    b_c = b_c * cam_w
+    b_p = b_p * pt_w
+
+    h = jnp.einsum("lij,lj->li", Vinv, b_p)                         # [L,3]
+    t = jnp.sum(Jp * h.T[:, p.obs_pt][None], axis=1)                # [2,O]
+    b_red_c = b_c - _seg_vec_t(Jc, t, p.obs_cam, N, axis_name) * cam_w
+    b_red_k = b_k - _reduce(
+        jnp.sum(Jk * t[:, None, :], axis=(0, 2)), axis_name)
+
+    return dict(
+        N=N, L=L, axis_name=axis_name,
+        cam_upd=cam_upd, cam_w=cam_w, pt_w=pt_w,
+        U=U, V=V, Ukk=Ukk, Vinv=Vinv,
+        extra_diag_c=extra_diag_c, extra_diag_k=extra_diag_k,
+        b_c=b_c, b_p=b_p, b_k=b_k, b_red_c=b_red_c, b_red_k=b_red_k,
+    )
+
+
+def _solve_schur_pcg_t(r, Jc, Jp, Jk, priors, p: BAProblem, lam,
+                       cfg: BAConfig, axis_name: str | None = None):
+    """_solve_schur_pcg on the transposed layout: every per-observation
+    tensor keeps O as the lane dim, so nothing tiles beyond ~1.3x.
+    Semantics identical to the standard-layout solver (parity-tested)."""
+    blk = _blocks_t(r, Jc, Jp, Jk, priors, p, lam, cfg, axis_name)
+    N, L = blk["N"], blk["L"]
+    cam_upd, cam_w, pt_w = blk["cam_upd"], blk["cam_w"], blk["pt_w"]
+    U, Vinv, Ukk = blk["U"], blk["Vinv"], blk["Ukk"]
+    extra_diag_c, extra_diag_k = blk["extra_diag_c"], blk["extra_diag_k"]
+    b_p = blk["b_p"]
+    b_red_c, b_red_k = blk["b_red_c"], blk["b_red_k"]
+
+    Uinv = jnp.linalg.inv(U)
+    Ukk_inv = jnp.linalg.inv(Ukk)
+
+    def S_mv(vc, vk):
+        vc_act = vc * cam_w
+        vg = vc_act.T[:, p.obs_cam]                                 # [6,O]
+        t = jnp.sum(Jc * vg[None], axis=1) + jnp.sum(
+            Jk * vk[None, :, None], axis=1)
+        g = _seg_vec_t(Jp, t, p.obs_pt, L, axis_name)               # [L,3]
+        hh = jnp.einsum("lij,lj->li", Vinv, g) * pt_w
+        u = jnp.sum(Jp * hh.T[:, p.obs_pt][None], axis=1)
+        Sc = _seg_vec_t(Jc, t - u, p.obs_cam, N, axis_name)
+        Sc = Sc + extra_diag_c * vc_act
+        Sc = jnp.where(cam_upd[:, None], Sc, vc)
+        Sk = _reduce(jnp.sum(Jk * (t - u)[:, None, :], axis=(0, 2)),
+                     axis_name) + extra_diag_k * vk
+        return Sc, Sk
+
+    def M_inv(vc, vk):
+        return jnp.einsum("nij,nj->ni", Uinv, vc), Ukk_inv @ vk
+
+    x_c = jnp.zeros_like(blk["b_c"])
+    x_k = jnp.zeros_like(blk["b_k"])
+    r_c, r_k2 = b_red_c, b_red_k
+    z_c, z_k = M_inv(r_c, r_k2)
+    p_c, p_k = z_c, z_k
+    rz = jnp.sum(r_c * z_c) + jnp.sum(r_k2 * z_k)
+    b_norm = jnp.sqrt(jnp.sum(b_red_c * b_red_c) + jnp.sum(b_red_k * b_red_k))
+
+    def cg_cond(state):
+        i, _, _, r_c, r_k2, *_ = state
+        rn = jnp.sqrt(jnp.sum(r_c * r_c) + jnp.sum(r_k2 * r_k2))
+        return (i < cfg.cg_iters) & (rn > cfg.cg_tol * (b_norm + 1e-20))
+
+    def cg_body(state):
+        i, x_c, x_k, r_c, r_k2, p_c, p_k, rz = state
+        Ap_c, Ap_k = S_mv(p_c, p_k)
+        pAp = jnp.sum(p_c * Ap_c) + jnp.sum(p_k * Ap_k)
+        alpha = rz / jnp.maximum(pAp, _EPS)
+        x_c = x_c + alpha * p_c
+        x_k = x_k + alpha * p_k
+        r_c = r_c - alpha * Ap_c
+        r_k2 = r_k2 - alpha * Ap_k
+        z_c, z_k = M_inv(r_c, r_k2)
+        rz_new = jnp.sum(r_c * z_c) + jnp.sum(r_k2 * z_k)
+        beta = rz_new / jnp.maximum(rz, _EPS)
+        p_c = z_c + beta * p_c
+        p_k = z_k + beta * p_k
+        return i + 1, x_c, x_k, r_c, r_k2, p_c, p_k, rz_new
+
+    state = (jnp.int32(0), x_c, x_k, r_c, r_k2, p_c, p_k, rz)
+    _, x_c, x_k, *_ = jax.lax.while_loop(cg_cond, cg_body, state)
+    d_cam = x_c * cam_w
+    d_k = x_k
+
+    t = jnp.sum(Jc * d_cam.T[:, p.obs_cam][None], axis=1) + jnp.sum(
+        Jk * d_k[None, :, None], axis=1)
+    g = b_p - _seg_vec_t(Jp, t, p.obs_pt, L, axis_name)
+    d_pt = jnp.einsum("lij,lj->li", Vinv, g) * pt_w
+    return d_cam, d_k, d_pt
+
+
 def _back_substitute(d_cam, d_k, blk, Jc, Jp, Jk, p):
     """Landmark updates given camera/intrinsic updates."""
     t = jnp.einsum("okj,oj->ok", Jc, d_cam[p.obs_cam]) + jnp.einsum(
         "okj,j->ok", Jk, d_k
     )
-    g = blk["b_p"] - blk["seg_p"](jnp.einsum("oki,ok->oi", Jp, t), p.obs_pt)
+    g = blk["b_p"] - _seg_vec(Jp, t, p.obs_pt, blk["L"], blk["axis_name"])
     return jnp.einsum("lij,lj->li", blk["Vinv"], g) * blk["pt_w"]
 
 
@@ -444,10 +697,10 @@ def _solve_schur_pcg(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig,
         t = jnp.einsum("okj,oj->ok", Jc, vc_act[p.obs_cam]) + jnp.einsum(
             "okj,j->ok", Jk, vk
         )                                                           # [O,2]
-        g = seg_p(jnp.einsum("oki,ok->oi", Jp, t), p.obs_pt)        # [L,3]
+        g = _seg_vec(Jp, t, p.obs_pt, L, axis_name)                 # [L,3]
         hh = jnp.einsum("lij,lj->li", Vinv, g) * pt_w               # [L,3]
         u = jnp.einsum("oki,oi->ok", Jp, hh[p.obs_pt])              # [O,2]
-        Sc = seg_c(jnp.einsum("oki,ok->oi", Jc, t - u), p.obs_cam)
+        Sc = _seg_vec(Jc, t - u, p.obs_cam, N, axis_name)
         Sc = Sc + extra_diag_c * vc_act
         Sc = jnp.where(cam_upd[:, None], Sc, vc)  # identity rows for frozen
         Sk = _reduce(jnp.einsum("oki,ok->i", Jk, t - u), axis_name) + extra_diag_k * vk
@@ -495,7 +748,7 @@ def _solve_schur_pcg(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig,
     t = jnp.einsum("okj,oj->ok", Jc, d_cam[p.obs_cam]) + jnp.einsum(
         "okj,j->ok", Jk, d_k
     )
-    g = b_p - seg_p(jnp.einsum("oki,ok->oi", Jp, t), p.obs_pt)
+    g = b_p - _seg_vec(Jp, t, p.obs_pt, L, axis_name)
     d_pt = jnp.einsum("lij,lj->li", Vinv, g) * pt_w
     return d_cam, d_k, d_pt
 
@@ -605,15 +858,23 @@ def refine_ba(p: BAProblem, cfg: BAConfig = BAConfig(),
 
     def body(s):
         i, poses, points, intr, lam, cost, done = s
-        r, Jc, Jp, Jk, _ = _obs_linearize(poses, points, intr, p)
         priors = _prior_terms(poses, points, intr, p, anchors, cfg)
         if dogleg:
             # lam slot carries the trust radius
+            r, Jc, Jp, Jk, _ = _obs_linearize(poses, points, intr, p)
             d_cam, d_k, d_pt, m_dec = _dogleg_step(
                 r, Jc, Jp, Jk, priors, p, lam, cfg, solve, axis_name
             )
-        else:
+        elif use_dense:
+            r, Jc, Jp, Jk, _ = _obs_linearize(poses, points, intr, p)
             d_cam, d_k, d_pt = solve(
+                r, Jc, Jp, Jk, priors, p, lam, cfg, axis_name
+            )
+        else:
+            # PCG path: transposed per-obs layout end to end (the obs
+            # axis stays the lane dim — see _obs_linearize_t)
+            r, Jc, Jp, Jk, _ = _obs_linearize_t(poses, points, intr, p)
+            d_cam, d_k, d_pt = _solve_schur_pcg_t(
                 r, Jc, Jp, Jk, priors, p, lam, cfg, axis_name
             )
 
