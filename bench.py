@@ -93,6 +93,9 @@ def main():
         # workload with ATE 0.048 -> 0.026 (scripts/tune_sweep.py) — skipped
         # frames are refined by overlapping windows + interim/global BA
         local_ba_every=3,
+        # window-BA gauge freezing (see SfmOptions.local_ba_free_span);
+        # override for A/B probes: EACHAM_FREE_SPAN=6 python bench.py
+        local_ba_free_span=int(os.environ.get("EACHAM_FREE_SPAN", "0")),
     )
 
     def full_pipeline():

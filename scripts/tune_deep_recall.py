@@ -61,7 +61,10 @@ def main():
     ap.add_argument("--save", action="store_true")
     args = ap.parse_args()
 
+    import os as _os
     import jax
+    if _os.environ.get("EACHAM_CPU"):
+        jax.config.update("jax_platforms", "cpu")   # env alone is overridden
     import jax.numpy as jnp
     from eacham_tpu.features.deep import lightglue as lg
     from eacham_tpu.features.deep import superpoint as sp

@@ -138,3 +138,75 @@ def test_dogleg_converges(rng):
     dl_cost = float(out_dl[3]["final_cost"])
     assert dl_cost < 1.5 * lm_cost + 1.0, (lm_cost, dl_cost)
     assert dl_cost < 0.05 * float(out_dl[3]["initial_cost"])
+
+
+def test_memory_shaped_segment_sums_match_reference():
+    """The chunk-scan outer products and transposed-scatter vector sums
+    (the KITTI-scale memory fix, r3) must equal plain segment_sum."""
+    import jax
+    from eacham_tpu.ba.core import (
+        _SEG_CHUNK, _seg_outer, _seg_outer_t, _seg_vec, _seg_vec_t,
+    )
+
+    rng = np.random.default_rng(0)
+    O, n = 2 * _SEG_CHUNK + 777, 37          # forces the chunked path + pad
+    J1 = rng.normal(size=(O, 2, 6)).astype(np.float32)
+    J2 = rng.normal(size=(O, 2, 6)).astype(np.float32)
+    t = rng.normal(size=(O, 2)).astype(np.float32)
+    idx = rng.integers(0, n, O).astype(np.int32)
+
+    ref_outer = jax.ops.segment_sum(
+        jnp.einsum("oki,okj->oij", J1, J2), jnp.asarray(idx), num_segments=n)
+    ref_vec = jax.ops.segment_sum(
+        jnp.einsum("oki,ok->oi", J1, t), jnp.asarray(idx), num_segments=n)
+
+    got = _seg_outer(jnp.asarray(J1), jnp.asarray(J2), jnp.asarray(idx),
+                     n, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_outer),
+                               rtol=1e-5, atol=1e-3)
+    got = _seg_vec(jnp.asarray(J1), jnp.asarray(t), jnp.asarray(idx), n, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_vec),
+                               rtol=1e-5, atol=1e-3)
+    # transposed variants ([k, a, O] Jacobians, [k, O] residuals)
+    got = _seg_outer_t(jnp.asarray(J1.transpose(1, 2, 0)),
+                       jnp.asarray(J2.transpose(1, 2, 0)),
+                       jnp.asarray(idx), n, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_outer),
+                               rtol=1e-5, atol=1e-3)
+    got = _seg_vec_t(jnp.asarray(J1.transpose(1, 2, 0)), jnp.asarray(t.T),
+                     jnp.asarray(idx), n, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_vec),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_obs_linearize_t_matches_standard():
+    """Transposed linearization is the same math as the standard layout."""
+    from eacham_tpu.ba.core import _obs_linearize, _obs_linearize_t
+
+    prob, poses_gt, pts_gt = None, None, None
+    rng = np.random.default_rng(1)
+    N, L, O = 5, 60, 300
+    pts = (rng.uniform(-1, 1, (L, 3)) + [0, 0, 5]).astype(np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32), (N, 1, 1))
+    poses[:, :3, 3] = rng.normal(scale=0.2, size=(N, 3))
+    from eacham_tpu.ba.core import BAProblem
+
+    oc = rng.integers(0, N, O).astype(np.int32)
+    op = rng.integers(0, L, O).astype(np.int32)
+    uv = rng.uniform(0, 640, (O, 2)).astype(np.float32)
+    p = BAProblem(
+        poses=jnp.asarray(poses), points=jnp.asarray(pts),
+        intr=jnp.asarray([500.0, 500.0, 320.0, 240.0], jnp.float32),
+        obs_cam=jnp.asarray(oc), obs_pt=jnp.asarray(op),
+        obs_uv=jnp.asarray(uv), obs_mask=jnp.ones(O, bool),
+        cam_in_ba=jnp.ones(N, bool), cam_fixed=jnp.zeros(N, bool),
+        pt_in_ba=jnp.ones(L, bool), pt_obs_count=jnp.full(L, 5.0),
+    )
+    r, Jc, Jp, Jk, w = _obs_linearize(p.poses, p.points, p.intr, p)
+    r_t, Jc_t, Jp_t, Jk_t, w_t = _obs_linearize_t(p.poses, p.points, p.intr, p)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r_t).T, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Jc),
+                               np.asarray(Jc_t).transpose(2, 0, 1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Jp),
+                               np.asarray(Jp_t).transpose(2, 0, 1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_t), atol=1e-6)
