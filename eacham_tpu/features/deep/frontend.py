@@ -43,7 +43,7 @@ def extract_deep_batch(params, images, max_keypoints: int = 512,
 
 
 @partial(jax.jit, static_argnames=("n_layers", "chunk", "min_matches",
-                                   "image_size"))
+                                   "image_size", "threshold"))
 def match_all_pairs_deep(
     params,
     xy: jnp.ndarray,         # [N, K, 2] pixels
@@ -54,6 +54,8 @@ def match_all_pairs_deep(
     n_layers: int = 3,
     min_matches: int = 30,
     chunk: int = 4,
+
+    threshold: float = lg.MATCH_THRESHOLD,
 ):
     """Exhaustive pair matching through the attentional matcher.
 
@@ -77,6 +79,7 @@ def match_all_pairs_deep(
         idx, valid, _ = lg.match_deep(
             params, kps_n[i], desc[i], kp_mask[i],
             kps_n[j], desc[j], kp_mask[j], n_layers=n_layers,
+            threshold=threshold,
         )
         return None, (idx, valid)
 
@@ -100,6 +103,7 @@ def build_match_tables_deep(
     retrieval_k: int = 3,
     ladder: bool = True,
     verify: tuple | None = None,   # (intr, key, px_thr, n_hyp)
+    threshold: float = lg.MATCH_THRESHOLD,
 ):
     """Production-shaped deep match graph: same candidate-pair windowing,
     size bucketing, epipolar verification, and inverse tables as the
@@ -136,6 +140,7 @@ def build_match_tables_deep(
     match_ij, valid_ij, pair_ok = match_all_pairs_deep(
         params, xy, desc, kp_mask, pair_idx, image_size,
         n_layers=n_layers, min_matches=min_matches, chunk=chunk,
+        threshold=threshold,
     )
     pair_ok = pair_ok & (pair_idx[:, 0] < pair_idx[:, 1])
     if verify is not None:
