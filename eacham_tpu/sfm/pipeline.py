@@ -408,6 +408,9 @@ def run_sfm(
     opt = options
     key = jax.random.PRNGKey(opt.seed)
     N = keypoints.shape[0]
+    # one explicit device upload (callers may pass host arrays — the
+    # memory-safe form for long sequences); freed after the match graph
+    descriptors = jnp.asarray(descriptors)
 
     import time as _time
     _t0 = _time.perf_counter()
@@ -484,6 +487,13 @@ def run_sfm(
             pair_ok = pair_ok & (jnp.sum(v_ij, axis=-1) > opt.min_matches)
         v_ij = v_ij & pair_ok[:, None]
         m_ji, v_ji = invert_matches(m_ij, v_ij)
+    # the descriptor batch is dead weight past this point (the scene keeps
+    # keypoints + match tables only) — at KITTI scale it is 4.7 GB of HBM
+    # that, held through the final global BA, crashed the 16 GB worker
+    # (r3 rehearsal). Dropping the local reference frees the device buffer
+    # when the CALLER passed host (numpy) features, the memory-safe way to
+    # drive long sequences (scripts/stress_500.py does).
+    del descriptors
     if intr is None:
         # K guess f = 1.2 * max(w, h) (utils::ImageToCameraParams, Utils.h:13-22)
         intr = intrinsics_from_image_size(image_size[0], image_size[1])

@@ -165,7 +165,11 @@ def main():
                      t_extract=t_extract)
     else:
         xy = jnp.asarray(cached["xy"])
-        desc = jnp.asarray(cached["desc"]).astype(jnp.float32)
+        # keep descriptors on the HOST: run_sfm uploads them for the match
+        # graph and drops the device buffer afterwards — holding a device
+        # copy here kept 4.7 GB resident through the final global BA and
+        # crashed the chip at N=4500 (r3 rehearsal)
+        desc = np.asarray(cached["desc"]).astype(np.float32)
         mask = jnp.asarray(cached["mask"])
         t_extract = float(cached["t_extract"])
 
