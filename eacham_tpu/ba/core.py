@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from eacham_tpu.geometry.linalg import inv3x3
-from eacham_tpu.geometry.se3 import exp_se3, log_se3, hat
+from eacham_tpu.geometry.se3 import exp_se3, log_se3
 
 _EPS = 1e-12
 
@@ -681,7 +681,6 @@ def _solve_schur_pcg(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig,
     """
     blk = _blocks(r, Jc, Jp, Jk, priors, p, lam, cfg, axis_name)
     N, L = blk["N"], blk["L"]
-    seg_c, seg_p = blk["seg_c"], blk["seg_p"]
     cam_upd, cam_w, pt_w = blk["cam_upd"], blk["cam_w"], blk["pt_w"]
     U, Vinv, Ukk = blk["U"], blk["Vinv"], blk["Ukk"]
     extra_diag_c, extra_diag_k = blk["extra_diag_c"], blk["extra_diag_k"]
