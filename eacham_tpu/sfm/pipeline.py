@@ -159,6 +159,11 @@ class SfmOptions:
     # 1000-frame orbit's interior (r3 scale-profile analysis). Frozen
     # elders pin the scale each new triangulation inherits.
     local_ba_free_span: int = 0
+    # max LM iterations per dispatched BA program for the big (interim/
+    # global) solves; the host loops rounds up to the configured budget.
+    # One long-running XLA execution kills the tunnel worker (r3 4500-
+    # frame rehearsal) — 10-iteration programs are proven safe there.
+    ba_program_iters: int = 10
     # outlier-observation pruning around global BA (deviation from the
     # reference, which never prunes — strictly improves robustness)
     prune_outliers: bool = True
@@ -337,7 +342,7 @@ def _bucket(n: int, cap: int, floor: int = 1024) -> int:
 
 
 def _ba(scene: Scene, cam_in_ba, cfg: BAConfig, min_landmarks: int,
-        mesh=None):
+        mesh=None, program_iters: int = 0):
     """Build the BA problem, skip if too small (BundleAdjuster.cpp:166-169),
     run LM, write back. With ``mesh``, the observation axis is sharded and
     the reduced camera system is psum-assembled (parallel/ba.py).
@@ -359,12 +364,39 @@ def _ba(scene: Scene, cam_in_ba, cfg: BAConfig, min_landmarks: int,
         max_obs=_bucket(n_obs, N * K),
         max_lms=_bucket(n_lms, scene.lm_capacity),
     )
-    if mesh is not None:
-        from eacham_tpu.parallel.ba import refine_ba_sharded
+    # program_iters > 0: cap the LM iterations per DISPATCHED program and
+    # loop on the host. A single XLA execution running minutes of LM at
+    # KITTI scale trips the tunnel worker's per-program patience and
+    # kills it (r3: the 4500-frame final global BA crashed the worker
+    # reproducibly at 40 iters while 10-iter interim BAs at the same
+    # shapes ran 35 times) — the same constraint sweep_segment handles
+    # for the registration loop.
+    rounds = 1
+    run_cfg = cfg
+    if program_iters > 0 and cfg.max_iters > program_iters:
+        rounds = -(-cfg.max_iters // program_iters)
+        run_cfg = cfg._replace(max_iters=program_iters)
+    info = None
+    for r in range(rounds):
+        if mesh is not None:
+            from eacham_tpu.parallel.ba import refine_ba_sharded
 
-        poses, points, intr, info = refine_ba_sharded(prob, cfg, mesh)
-    else:
-        poses, points, intr, info = refine_ba(prob, cfg)
+            poses, points, intr, info_r = refine_ba_sharded(
+                prob, run_cfg, mesh)
+        else:
+            poses, points, intr, info_r = refine_ba(prob, run_cfg)
+        if info is None:
+            info = dict(info_r)
+        else:
+            info["final_cost"] = info_r["final_cost"]
+            info["iterations"] = info["iterations"] + info_r["iterations"]
+        prob = prob._replace(poses=poses, points=points, intr=intr)
+        if rounds > 1:
+            rel = abs(float(info_r["initial_cost"])
+                      - float(info_r["final_cost"])) / max(
+                float(info_r["initial_cost"]), 1e-9)
+            if rel < cfg.tolerance:
+                break
     scene = scatter_window_poses(scene, cam_list, cam_on, poses)
     scene = scatter_window_points(scene, lm_list, lm_on, points)
     return scene._replace(intr=intr), info
@@ -855,7 +887,8 @@ def _finalize(scene, excluded, opt: SfmOptions, global_cfg, i0, j0, N, log,
             scene, n_obs, n_lm = prune_observations(scene, opt.max_repr_error)
             log(f"prune: -{int(n_obs)} observations, -{int(n_lm)} landmarks")
         scene, info = _ba(scene, scene.pose_valid, global_cfg,
-                          opt.min_ba_landmarks, mesh=mesh)
+                          opt.min_ba_landmarks, mesh=mesh,
+                          program_iters=opt.ba_program_iters)
         if info is not None:
             log(
                 f"global BA: {float(info['initial_cost']):.1f} -> "
@@ -907,7 +940,8 @@ def _finalize(scene, excluded, opt: SfmOptions, global_cfg, i0, j0, N, log,
             )
             scene, n_obs, n_lm = prune_observations(scene, opt.max_repr_error)
             scene, info3 = _ba(scene, scene.pose_valid, global_cfg,
-                               opt.min_ba_landmarks, mesh=mesh)
+                               opt.min_ba_landmarks, mesh=mesh,
+                               program_iters=opt.ba_program_iters)
             if info3 is not None:
                 log(f"map refine: rebuilt "
                     f"{int(jnp.sum(scene.lm_valid))} landmarks "

@@ -99,7 +99,7 @@ def main():
         print(f"grafted to {n_layers} layers", flush=True)
 
     ths = [0.3, 0.4, 0.5, 0.6]
-    res = sweep(sp_params, lg_params, n_layers, ths)
+    res0 = res = sweep(sp_params, lg_params, n_layers, ths)
     for t, (p, r) in res.items():
         print(f"before: thr={t:.2f} precision={p:.3f} recall={r:.3f}",
               flush=True)
@@ -118,6 +118,12 @@ def main():
                   flush=True)
         if args.save:
             p5, r5 = res[0.5]
+            p0, r0 = res0[0.5]
+            f1_new = 2 * p5 * r5 / max(p5 + r5, 1e-9)
+            f1_old = 2 * p0 * r0 / max(p0 + r0, 1e-9)
+            if f1_new <= f1_old:
+                print(f"NOT saved (F1 {f1_old:.3f} -> {f1_new:.3f})")
+                return
             lg.save_params(WEIGHTS / "lightglue.npz", lg_params)
             meta.write_text(
                 f"n_layers={n_layers}\nsteps=+{args.steps}\n"
