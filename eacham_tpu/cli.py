@@ -20,7 +20,7 @@ import numpy as np
 
 def run(config_path: str, max_keypoints: int = 1024, verbose: bool = True,
         frontend: str = "classical", weights_dir: str | None = None,
-        n_devices: int = 1) -> dict:
+        n_devices: int = 1, match_threshold: float = 0.5) -> dict:
     from eacham_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -47,7 +47,8 @@ def run(config_path: str, max_keypoints: int = 1024, verbose: bool = True,
     match_tables = None
     if frontend == "deep":
         match_tables, (xy, desc, score, mask) = _deep_frontend(
-            batch, max_keypoints, weights_dir, verbose, opts, (w0, h0))
+            batch, max_keypoints, weights_dir, verbose, opts, (w0, h0),
+            match_threshold)
     else:
         with BlockTimer("Extract", verbose=verbose):  # HOT LOOP 1 (main.cpp:72-79)
             xy, desc, score, mask = extract_features(
@@ -109,7 +110,7 @@ def _in_frame_mask(xy, sizes):
 
 
 def _deep_frontend(batch, max_keypoints, weights_dir, verbose, opts,
-                   image_size):
+                   image_size, match_threshold=0.5):
     """SuperPoint extraction + LightGlue matching over the SAME candidate
     -pair graph policy as the classical path (window + ladder + retrieval
     + epipolar verification) — `--frontend deep` scales wherever the
@@ -159,7 +160,7 @@ def _deep_frontend(batch, max_keypoints, weights_dir, verbose, opts,
             min_matches=opts.min_matches,
             pair_window=opts.pair_window,
             retrieval_k=opts.pair_retrieval_k, ladder=opts.pair_ladder,
-            verify=verify,
+            verify=verify, threshold=match_threshold,
         )
     return tables, feats
 
@@ -173,11 +174,16 @@ def main(argv=None):
     ap.add_argument("--weights", help="directory with deep-frontend .npz")
     ap.add_argument("--devices", type=int, default=1,
                     help="shard matching + global BA over this many devices")
+    ap.add_argument("--match-threshold", type=float, default=0.5,
+                    help="deep-matcher score gate (reference default 0.5; "
+                         "the measured high-recall point is 0.3 -- the "
+                         "epipolar verification cleans the extra matches)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
     stats = run(args.config, max_keypoints=args.max_keypoints,
                 verbose=not args.quiet, frontend=args.frontend,
-                weights_dir=args.weights, n_devices=args.devices)
+                weights_dir=args.weights, n_devices=args.devices,
+                match_threshold=args.match_threshold)
     return 0 if stats.get("initialized") else 1
 
 

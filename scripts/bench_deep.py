@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--window", type=int, default=10)
     ap.add_argument("--kps", type=int, default=512)
+    ap.add_argument("--threshold", type=float, default=0.5)
     args = ap.parse_args()
 
     from eacham_tpu.utils.cache import enable_compilation_cache
@@ -87,7 +88,7 @@ def main():
         tables = build_match_tables_deep(
             lg_params, xy, desc, mask, (W, H), n_layers=n_layers,
             min_matches=opts.min_matches, pair_window=args.window,
-            retrieval_k=3,
+            retrieval_k=3, threshold=args.threshold,
             verify=(intrinsics_from_image_size(W, H),
                     jax.random.PRNGKey(7), opts.max_repr_error,
                     opts.verify_hyps))
