@@ -589,7 +589,8 @@ def run_sfm(
 
             def on_segment(s):
                 s, info = _ba(s, s.pose_valid, interim_cfg,
-                              opt.min_ba_landmarks, mesh=mesh)
+                              opt.min_ba_landmarks, mesh=mesh,
+                              program_iters=opt.ba_program_iters)
                 if info is not None:
                     log(f"interim BA: {float(info['initial_cost']):.1f} -> "
                         f"{float(info['final_cost']):.1f}")

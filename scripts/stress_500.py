@@ -34,6 +34,8 @@ def main():
                     help="run the windowed local BA on every M-th "
                          "registration (SfmOptions.local_ba_every)")
     ap.add_argument("--lm-capacity", type=int, default=131072)
+    ap.add_argument("--segment", type=int, default=128)
+    ap.add_argument("--ba-program-iters", type=int, default=10)
     ap.add_argument("--free-span", type=int, default=0,
                     help="freeze window-BA cams more than this many ids "
                          "from the current frame (0 = all free)")
@@ -135,6 +137,8 @@ def main():
         local_ba_every=args.ba_every,
         local_ba_free_span=args.free_span,
         map_refine_rounds=args.refine_rounds,
+        sweep_segment=args.segment,
+        ba_program_iters=args.ba_program_iters,
     )
 
     if cached is None:
