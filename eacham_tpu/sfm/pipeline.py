@@ -914,6 +914,7 @@ def _finalize(scene, excluded, opt: SfmOptions, global_cfg, i0, j0, N, log,
                 scene, info2 = _ba(
                     scene, scene.pose_valid, global_cfg,
                     opt.min_ba_landmarks, mesh=mesh,
+                    program_iters=opt.ba_program_iters,
                 )
                 if info2 is not None:
                     log(
