@@ -373,7 +373,13 @@ def _ba(scene: Scene, cam_in_ba, cfg: BAConfig, min_landmarks: int,
     # for the registration loop.
     rounds = 1
     run_cfg = cfg
-    if program_iters > 0 and cfg.max_iters > program_iters:
+    # chunk only problems big enough to threaten the per-program patience:
+    # small solves (every bench/CLI-scale global BA) lose ~0.7 s to the
+    # extra dispatch round-trips (measured: bench 14.05 -> 12.7 fps when
+    # chunked unconditionally), while at KITTI scale the 40-iter program
+    # reproducibly killed the worker
+    big = prob.obs_cam.shape[0] > 131072
+    if program_iters > 0 and cfg.max_iters > program_iters and big:
         rounds = -(-cfg.max_iters // program_iters)
         run_cfg = cfg._replace(max_iters=program_iters)
     info = None
