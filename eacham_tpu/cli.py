@@ -118,30 +118,12 @@ def _deep_frontend(batch, max_keypoints, weights_dir, verbose, opts,
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from eacham_tpu.features.deep import lightglue as lg
-    from eacham_tpu.features.deep import superpoint as sp
     from eacham_tpu.features.deep.frontend import (
-        build_match_tables_deep, extract_deep_batch,
+        build_match_tables_deep, extract_deep_batch, load_frontend_params,
     )
     from eacham_tpu.utils.timer import BlockTimer
 
-    wdir = Path(weights_dir or Path(__file__).resolve().parent.parent / "weights")
-    key = jax.random.PRNGKey(0)
-    sp_params = sp.init_params(key)
-    if (wdir / "superpoint.npz").exists():
-        sp_params = jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.float32),
-            lg.load_params(wdir / "superpoint.npz", sp_params))
-    n_layers = 3
-    meta = wdir / "lightglue.meta"
-    if meta.exists():
-        n_layers = int([l for l in meta.read_text().splitlines()
-                        if l.startswith("n_layers")][0].split("=")[1])
-    lg_params = lg.init_params(key, n_layers=n_layers)
-    if (wdir / "lightglue.npz").exists():
-        lg_params = jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.float32),
-            lg.load_params(wdir / "lightglue.npz", lg_params))
+    sp_params, lg_params, n_layers = load_frontend_params(weights_dir)
 
     with BlockTimer("Extract(deep)", verbose=verbose):
         feats = extract_deep_batch(

@@ -14,6 +14,7 @@ consumes — so ``run_sfm`` runs unchanged on either frontend.
 from __future__ import annotations
 
 from functools import partial
+from pathlib import Path
 
 import numpy as np
 import jax
@@ -21,6 +22,75 @@ import jax.numpy as jnp
 
 from eacham_tpu.features.deep import lightglue as lg
 from eacham_tpu.features.deep import superpoint as sp
+
+
+def load_frontend_params(weights_dir=None, key=None):
+    """Load the shipped (or ``weights_dir``-supplied) deep-frontend weights.
+
+    Returns ``(sp_params, lg_params, n_layers)``; falls back to random
+    initialization for any missing .npz so examples/tests run without
+    trained checkpoints. ``n_layers`` comes from ``lightglue.meta``.
+    """
+    wdir = Path(weights_dir) if weights_dir else (
+        Path(__file__).resolve().parents[3] / "weights")
+    key = key if key is not None else jax.random.PRNGKey(0)
+    sp_params = sp.init_params(key)
+    if (wdir / "superpoint.npz").exists():
+        sp_params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32),
+            lg.load_params(wdir / "superpoint.npz", sp_params))
+    n_layers = 3
+    meta = wdir / "lightglue.meta"
+    if meta.exists():
+        n_layers = int([l for l in meta.read_text().splitlines()
+                        if l.startswith("n_layers")][0].split("=")[1])
+    lg_params = lg.init_params(key, n_layers=n_layers)
+    if (wdir / "lightglue.npz").exists():
+        lg_params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32),
+            lg.load_params(wdir / "lightglue.npz", lg_params))
+    return sp_params, lg_params, n_layers
+
+
+@partial(jax.jit, static_argnames=("max_keypoints", "n_layers", "threshold",
+                                   "score_threshold"))
+def match_images_e2e(
+    sp_params,
+    lg_params,
+    images: jnp.ndarray,      # [2, H, W] float32 in [0, 1]
+    max_keypoints: int = 512,
+    n_layers: int = 3,
+    threshold: float = lg.MATCH_THRESHOLD,
+    score_threshold: float = sp.SCORE_THRESHOLD,
+):
+    """Fused end-to-end deep matching: two images in, matched keypoint
+    pairs out, as ONE compiled program.
+
+    The reference ships this as a separate fused ONNX graph
+    (``superpoint_lightglue_e2e.onnx``, run by
+    modules/onnx/lightglue/example/src/extract_end_2_end.cpp:15-180); here
+    the fusion is XLA's — extraction and matching trace into a single jit
+    so intermediate keypoints/descriptors never round-trip to the host.
+
+    Returns ``(uv0 [K, 2], uv1 [K, 2], valid [K], mscore [K])``: pixel
+    coordinates of each matched pair (rows where ``valid`` is False are
+    garbage), mirroring the e2e model's (kpts0, kpts1, mscores) outputs.
+    """
+    _, H, W = images.shape
+    xy, desc, _, mask = sp.extract_deep(
+        sp_params, pad_images_for_conv(images),
+        max_keypoints=max_keypoints, score_threshold=score_threshold,
+    )
+    kps_n = lg.normalize_keypoints(xy, float(W), float(H))
+    idx, valid, scores = lg.match_deep(
+        lg_params, kps_n[:1], desc[:1], mask[:1],
+        kps_n[1:], desc[1:], mask[1:],
+        n_layers=n_layers, threshold=threshold,
+    )
+    uv0 = xy[0]
+    uv1 = xy[1][idx[0]]
+    mscore = jnp.max(jnp.where(valid[0, :, None], scores[0], 0.0), axis=-1)
+    return uv0, uv1, valid[0], mscore
 
 
 def pad_images_for_conv(images: jnp.ndarray) -> jnp.ndarray:

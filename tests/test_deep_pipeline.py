@@ -224,3 +224,42 @@ def test_deep_path_windowed_production_shape():
     ce = -np.einsum("nij,ni->nj", est[:, :3, :3], est[:, :3, 3])
     cg = -np.einsum("nij,ni->nj", gt[:, :3, :3], gt[:, :3, 3])
     assert ate_rmse(ce, cg) < 0.05
+
+
+@pytest.mark.skipif(
+    not ((WEIGHTS / "superpoint.npz").exists()
+         and (WEIGHTS / "lightglue.npz").exists()),
+    reason="no trained weights checked in",
+)
+def test_match_images_e2e_fused():
+    """One-call fused extract+match (the `superpoint_lightglue_e2e.onnx`
+    analogue, extract_end_2_end.cpp:15-180): two rendered views in,
+    matched pixel pairs out, agreeing with the separate-call path."""
+    from eacham_tpu.features.deep import lightglue as lg
+    from eacham_tpu.features.deep.frontend import (
+        extract_deep_batch, load_frontend_params, match_images_e2e,
+    )
+    from eacham_tpu.utils.synthetic import render_sequence
+
+    sp_params, lg_params, n_layers = load_frontend_params(WEIGHTS)
+    rng = np.random.default_rng(7)
+    images, poses_gt, intr = render_sequence(
+        rng, n_frames=2, width=320, height=240)
+    imgs = jnp.asarray(images)
+
+    uv0, uv1, valid, mscore = match_images_e2e(
+        sp_params, lg_params, imgs, max_keypoints=256, n_layers=n_layers)
+    v = np.asarray(valid)
+    assert v.sum() >= 30, int(v.sum())
+    assert np.all(np.asarray(mscore)[v] > 0.5)
+
+    # agreement with the two-call path on the same inputs
+    xy, desc, score, mask = extract_deep_batch(
+        sp_params, imgs, max_keypoints=256)
+    kn = lg.normalize_keypoints(xy, 320.0, 240.0)
+    idx, valid2, _ = lg.match_deep(
+        lg_params, kn[:1], desc[:1], mask[:1], kn[1:], desc[1:], mask[1:],
+        n_layers=n_layers)
+    assert np.array_equal(v, np.asarray(valid2[0]))
+    assert np.allclose(np.asarray(uv1)[v],
+                       np.asarray(xy[1])[np.asarray(idx[0])][v])
