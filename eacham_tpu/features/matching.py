@@ -101,21 +101,38 @@ def match_all_pairs(
     to keypoints of frame pair_idx[p,1]; pair_ok mirrors the reference's
     "> min_matches survivors" gate (main.cpp:142).
 
-    ``chunk`` bounds the live similarity-matrix memory (chunk*K*K floats).
-    ``backend="fused"`` routes each pair through the Pallas kernel
-    (ops/match_kernel.py) that never materializes the similarity matrix in
-    HBM. Measured on one v5e chip (scripts/bench_match_kernel.py, 1024
-    pairs): K=1024 fused 156 ms vs jnp 168 ms (1.07x), K=512 a wash
-    (0.98x), 100% decision agreement — so "auto" picks the kernel on TPU
-    once K reaches 1024 (its edge grows with the K^2 HBM traffic it
-    avoids) and plain jnp elsewhere.
+    ``chunk`` bounds the live similarity-matrix memory on the jnp path
+    (chunk*K*K floats). ``backend="fused"`` routes the WHOLE pair set
+    through one batched Pallas launch (ops/match_kernel.match_pairs_fused)
+    that never materializes a similarity matrix in HBM and fetches
+    descriptor blocks by scalar-prefetched pair index (no [P, K, D]
+    gather). Measured on one v5e chip (scripts/bench_match_kernel.py,
+    2048 pairs, K=1024): fused vs jnp — see SCALING.md r3; the jnp path's
+    matmul->top-2 HBM boundary runs at ~35 GB/s
+    (scripts/profile_match_parts.py), which the kernel avoids entirely.
+    "auto" picks the kernel on TPU (K padded to the 128-lane row tile)
+    and plain jnp elsewhere.
     """
     P = pair_idx.shape[0]
     K = desc.shape[1]
     if backend == "auto":
+        # measured v5e (bench_match_kernel, within-run A/B): P=2048
+        # K=1024 fused 1.15x, K=512 1.02x; P=256 K=1024 0.87x — the
+        # single-launch kernel pays off once the pair set amortizes its
+        # fixed cost
         backend = (
-            "fused" if jax.default_backend() == "tpu" and K >= 1024 else "jnp"
+            "fused" if jax.default_backend() == "tpu" and P >= 1024
+            else "jnp"
         )
+
+    if backend == "fused":
+        from eacham_tpu.ops.match_kernel import match_pairs_fused
+
+        match_j, match_valid = match_pairs_fused(
+            desc, kp_mask, pair_idx, ratio)
+        pair_ok = jnp.sum(match_valid, axis=-1) > min_matches
+        return match_j, match_valid, pair_ok
+
     pad = (-P) % chunk
     pair_padded = jnp.concatenate(
         [pair_idx, jnp.zeros((pad, 2), dtype=pair_idx.dtype)], axis=0
@@ -123,18 +140,9 @@ def match_all_pairs(
     n_chunks = pair_padded.shape[0] // chunk
     pair_chunks = pair_padded.reshape(n_chunks, chunk, 2)
 
-    if backend == "fused":
-        from eacham_tpu.ops.match_kernel import match_pair_fused
-
-        def one(pair):
-            i, j = pair[0], pair[1]
-            return match_pair_fused(
-                desc[i], desc[j], kp_mask[i], kp_mask[j], ratio
-            )
-    else:
-        def one(pair):
-            i, j = pair[0], pair[1]
-            return match_pair(desc[i], desc[j], kp_mask[i], kp_mask[j], ratio)
+    def one(pair):
+        i, j = pair[0], pair[1]
+        return match_pair(desc[i], desc[j], kp_mask[i], kp_mask[j], ratio)
 
     def step(_, pairs):
         bj, valid = jax.vmap(one)(pairs)

@@ -99,5 +99,71 @@ def main():
     timed("eq-masked float top-2 (rows)", scan_over(eqmask_top2))
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--hier" not in sys.argv:
     main()
+
+
+def hier_variant():
+    """Hierarchical reshape top-2 in plain jnp (appended probe): reduce
+    [*, K] as [*, K//128, 128] -> lanes -> sublanes; the flat lane
+    reduction is the measured hot spot both in XLA and Mosaic."""
+    import jax
+    import jax.numpy as jnp
+    from eacham_tpu.features.matching import NEG
+    from eacham_tpu.fp import FAST
+    from eacham_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import numpy as np
+    N, K, D, P, CH = 64, 1024, 256, 2048, 32
+    rng = np.random.default_rng(0)
+    desc = rng.normal(size=(N, K, D)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+    pairs = rng.integers(0, N, size=(P, 2)).astype(np.int32)
+    d = jnp.asarray(desc)
+    pi = jnp.asarray(pairs).reshape(-1, CH, 2)
+
+    def scan_over(fn):
+        def step(_, pr):
+            s = jnp.einsum("ckd,cld->ckl", d[pr[:, 0]], d[pr[:, 1]],
+                           preferred_element_type=jnp.float32,
+                           precision=FAST)
+            return None, fn(s)
+        return jax.jit(lambda: jax.lax.scan(step, None, pi)[1])
+
+    def timed(label, fn):
+        import time
+        out = fn()
+        jax.tree_util.tree_map(np.asarray, out)
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn()
+            jax.tree_util.tree_map(np.asarray, out)
+            best = min(best, time.perf_counter() - t0)
+        print(f"{label:46s} {best * 1e3:8.1f} ms", flush=True)
+
+    QS = 16384.0
+    IMIN = jnp.int32(-(2 ** 30))
+
+    def top2_hier(s, axis):
+        # pack, then reduce [**, K] hierarchically over (K//128, 128)
+        Kax = s.shape[axis]
+        bits = max(Kax - 1, 1).bit_length()
+        idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, axis)
+        q = (jnp.round(s * QS).astype(jnp.int32) << bits) | idx
+        qm = jnp.moveaxis(q, axis, -1)
+        lead = qm.shape[:-1]
+        qh = qm.reshape(*lead, Kax // 128, 128)
+        m = jnp.max(jnp.max(qh, -1), -1)
+        sec = jnp.max(jnp.where(qm == m[..., None], IMIN, qm), -1)
+        return m, m & (2 ** bits - 1), sec
+
+    timed("hier packed top-2 (rows)", scan_over(
+        lambda s: top2_hier(s, 2)))
+    timed("hier packed top-2 (both)", scan_over(
+        lambda s: (top2_hier(s, 2), top2_hier(s, 1))))
+
+
+if __name__ == "__main__":
+    hier_variant() if "--hier" in sys.argv else main()

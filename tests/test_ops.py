@@ -86,3 +86,57 @@ def test_fused_match_kernel_parity(rng):
     v = np.asarray(v_ref)
     np.testing.assert_array_equal(np.asarray(a_ref)[v], np.asarray(a_f)[v])
     assert v.sum() > 50
+
+
+def test_batched_match_kernel_parity(rng):
+    """Batched pair-grid Pallas matcher == jnp match_all_pairs decisions
+    (interpret mode; bf16 MXU passes on both sides make near-ties the
+    only possible divergence — this fixture has none)."""
+    from eacham_tpu.ops.match_kernel import match_pairs_fused
+    from eacham_tpu.features.matching import match_all_pairs
+
+    N, K, D = 7, 96, 256
+    desc = rng.normal(size=(N, K, D)).astype(np.float32)
+    # correlated neighbours so real matches exist
+    for i in range(1, N):
+        desc[i, : K // 2] = (
+            desc[i - 1, : K // 2]
+            + 0.02 * rng.normal(size=(K // 2, D)).astype(np.float32)
+        )
+    desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+    mask = rng.random((N, K)) > 0.1
+    pairs = np.array(
+        [(i, j) for i in range(N) for j in range(i + 1, N)], np.int32
+    )
+
+    d, m, pi = jnp.asarray(desc), jnp.asarray(mask), jnp.asarray(pairs)
+    mj_ref, mv_ref, ok_ref = match_all_pairs(
+        d, m, pi, chunk=7, backend="jnp")
+    mj_f, mv_f = match_pairs_fused(d, m, pi, interpret=True)
+
+    vr = np.asarray(mv_ref)
+    vf = np.asarray(mv_f)
+    # decision agreement must be overwhelming; allow a handful of
+    # bf16-rounding near-tie flips between the two implementations
+    agree = (vr == vf).mean()
+    assert agree > 0.995, agree
+    both = vr & vf
+    np.testing.assert_array_equal(
+        np.asarray(mj_ref)[both], np.asarray(mj_f)[both])
+    assert both.sum() > 100
+
+
+def test_batched_match_kernel_all_masked(rng):
+    """All-False keypoint masks must yield zero matches, not crash."""
+    from eacham_tpu.ops.match_kernel import match_pairs_fused
+
+    N, K, D = 3, 64, 256
+    desc = rng.normal(size=(N, K, D)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+    mask = np.zeros((N, K), bool)
+    pairs = np.array([[0, 1], [1, 2]], np.int32)
+    mj, mv = match_pairs_fused(
+        jnp.asarray(desc), jnp.asarray(mask), jnp.asarray(pairs),
+        interpret=True)
+    assert not np.asarray(mv).any()
+    assert mj.shape == (2, K)
