@@ -115,8 +115,9 @@ def _match_batch_kernel(pi0_ref, pi1_ref, d1_ref, d2_ref, m1_ref, m2_ref,
     the descriptor blocks are DMA'd straight from the [N, K, D] table via
     scalar-prefetched pair indices — no [P, K, D] gather ever exists, and
     the whole pair set is ONE kernel launch (the vmap-of-pallas_call
-    structure this replaces re-entered XLA per chunk; measured 356-587 ms
-    for 2048 pairs at K=1024 where this kernel is ~40 ms)."""
+    structure this replaces measured 356-587 ms for 2048 pairs at K=1024;
+    this kernel measures 306-324 ms, bounded by Mosaic's ~14 us/grid-step
+    latency and lane-axis reductions, not the matmul — SCALING.md r3)."""
     del pi0_ref, pi1_ref  # consumed by the BlockSpec index maps
     i = pl.program_id(1)
     n_rows = pl.num_programs(1)
