@@ -114,10 +114,23 @@ def main():
         np.asarray(scene.pose)  # force the final state onto the host
         return scene, stats, t_extract
 
-    # warmup pass compiles every stage; timed pass measures steady state
+    # warmup pass compiles every stage; timed pass measures steady state.
+    # cold/warm split: new persistent-cache entries = programs compiled
+    # fresh this run; a fully warm start writes ~0 new entries.
+    cache_dir = enable_compilation_cache()
+    def _n_entries():
+        try:
+            return len(os.listdir(cache_dir)) if cache_dir else -1
+        except OSError:
+            return -1
+    before = _n_entries()
     t0 = time.perf_counter()
     full_pipeline()
-    print(f"# warmup (compile) pass: {time.perf_counter() - t0:.1f}s",
+    warm_s = time.perf_counter() - t0
+    after = _n_entries()
+    print(f"# warmup (compile) pass: {warm_s:.1f}s "
+          f"(persistent cache: {before} entries before, "
+          f"{max(after - before, 0) if after >= 0 else -1} compiled fresh)",
           flush=True)
 
     t0 = time.perf_counter()

@@ -29,7 +29,13 @@ def load_frontend_params(weights_dir=None, key=None):
 
     Returns ``(sp_params, lg_params, n_layers)``; falls back to random
     initialization for any missing .npz so examples/tests run without
-    trained checkpoints. ``n_layers`` comes from ``lightglue.meta``.
+    trained checkpoints. ``n_layers`` comes from the .meta file.
+
+    When scanned-matcher weights (``lightglue_scan.npz``, trained at
+    reference capacity with per-layer heads) are present they are
+    preferred; the returned params then carry stacked [L, ...] layer
+    parameters and matching goes through ``lg.match_deep_scan`` /
+    ``lg.match_deep_adaptive`` (``matcher_kind`` below reports which).
     """
     wdir = Path(weights_dir) if weights_dir else (
         Path(__file__).resolve().parents[3] / "weights")
@@ -39,11 +45,23 @@ def load_frontend_params(weights_dir=None, key=None):
         sp_params = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.float32),
             lg.load_params(wdir / "superpoint.npz", sp_params))
-    n_layers = 3
-    meta = wdir / "lightglue.meta"
-    if meta.exists():
-        n_layers = int([l for l in meta.read_text().splitlines()
-                        if l.startswith("n_layers")][0].split("=")[1])
+
+    def _meta_layers(meta_path, default):
+        if meta_path.exists():
+            for line in meta_path.read_text().splitlines():
+                if line.startswith("n_layers"):
+                    return int(line.split("=")[1])
+        return default
+
+    if (wdir / "lightglue_scan.npz").exists():
+        n_layers = _meta_layers(wdir / "lightglue_scan.meta", 6)
+        lg_params = lg.init_params_scan(key, n_layers=n_layers)
+        lg_params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32),
+            lg.load_params(wdir / "lightglue_scan.npz", lg_params))
+        return sp_params, lg_params, n_layers
+
+    n_layers = _meta_layers(wdir / "lightglue.meta", 3)
     lg_params = lg.init_params(key, n_layers=n_layers)
     if (wdir / "lightglue.npz").exists():
         lg_params = jax.tree_util.tree_map(
@@ -52,8 +70,27 @@ def load_frontend_params(weights_dir=None, key=None):
     return sp_params, lg_params, n_layers
 
 
+def matcher_kind(lg_params) -> str:
+    """'scan' when params carry stacked GlueLayer weights, else 'legacy'."""
+    return "scan" if "layers" in lg_params.get("params", {}) else "legacy"
+
+
+def _match_fn(lg_params, adaptive: bool = False):
+    """Dispatch to the right matcher for the param structure. Returns a
+    callable with the (idx, valid, scores) contract of lg.match_deep."""
+    if matcher_kind(lg_params) == "scan":
+        if adaptive:
+            def run(params, *a, n_layers, threshold):
+                idx, valid, scores, _ = lg.match_deep_adaptive(
+                    params, *a, n_layers=n_layers, threshold=threshold)
+                return idx, valid, scores
+            return run
+        return lg.match_deep_scan
+    return lg.match_deep
+
+
 @partial(jax.jit, static_argnames=("max_keypoints", "n_layers", "threshold",
-                                   "score_threshold"))
+                                   "score_threshold", "adaptive"))
 def match_images_e2e(
     sp_params,
     lg_params,
@@ -62,6 +99,7 @@ def match_images_e2e(
     n_layers: int = 3,
     threshold: float = lg.MATCH_THRESHOLD,
     score_threshold: float = sp.SCORE_THRESHOLD,
+    adaptive: bool = False,
 ):
     """Fused end-to-end deep matching: two images in, matched keypoint
     pairs out, as ONE compiled program.
@@ -82,7 +120,7 @@ def match_images_e2e(
         max_keypoints=max_keypoints, score_threshold=score_threshold,
     )
     kps_n = lg.normalize_keypoints(xy, float(W), float(H))
-    idx, valid, scores = lg.match_deep(
+    idx, valid, scores = _match_fn(lg_params, adaptive)(
         lg_params, kps_n[:1], desc[:1], mask[:1],
         kps_n[1:], desc[1:], mask[1:],
         n_layers=n_layers, threshold=threshold,
@@ -113,7 +151,7 @@ def extract_deep_batch(params, images, max_keypoints: int = 512,
 
 
 @partial(jax.jit, static_argnames=("n_layers", "chunk", "min_matches",
-                                   "image_size", "threshold"))
+                                   "image_size", "threshold", "adaptive"))
 def match_all_pairs_deep(
     params,
     xy: jnp.ndarray,         # [N, K, 2] pixels
@@ -124,8 +162,8 @@ def match_all_pairs_deep(
     n_layers: int = 3,
     min_matches: int = 30,
     chunk: int = 4,
-
     threshold: float = lg.MATCH_THRESHOLD,
+    adaptive: bool = False,
 ):
     """Exhaustive pair matching through the attentional matcher.
 
@@ -143,10 +181,12 @@ def match_all_pairs_deep(
     )
     pair_chunks = pair_padded.reshape(-1, chunk, 2)
 
+    run = _match_fn(params, adaptive)   # param structure is static at trace
+
     def one_chunk(_, pairs):
         i = pairs[:, 0]
         j = pairs[:, 1]
-        idx, valid, _ = lg.match_deep(
+        idx, valid, _ = run(
             params, kps_n[i], desc[i], kp_mask[i],
             kps_n[j], desc[j], kp_mask[j], n_layers=n_layers,
             threshold=threshold,
@@ -174,6 +214,7 @@ def build_match_tables_deep(
     ladder: bool = True,
     verify: tuple | None = None,   # (intr, key, px_thr, n_hyp)
     threshold: float = lg.MATCH_THRESHOLD,
+    adaptive: bool = False,
 ):
     """Production-shaped deep match graph: same candidate-pair windowing,
     size bucketing, epipolar verification, and inverse tables as the
@@ -210,7 +251,7 @@ def build_match_tables_deep(
     match_ij, valid_ij, pair_ok = match_all_pairs_deep(
         params, xy, desc, kp_mask, pair_idx, image_size,
         n_layers=n_layers, min_matches=min_matches, chunk=chunk,
-        threshold=threshold,
+        threshold=threshold, adaptive=adaptive,
     )
     pair_ok = pair_ok & (pair_idx[:, 0] < pair_idx[:, 1])
     if verify is not None:

@@ -31,7 +31,11 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     )
     path.mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(path))
-    # cache everything, even fast compiles — dispatch-heavy pipelines win
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # cache EVERYTHING including sub-0.5s compiles: the r3 warmup audit
+    # (JAX_LOG_COMPILES over bench.py) measured 207 XLA compiles totalling
+    # 81.5s of which ~170 were small op-by-op programs below the default
+    # persistence threshold — they alone cost ~60s of every cold start on
+    # the tunnel backend, where even jit(add) takes ~0.4s to compile.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     return str(path)

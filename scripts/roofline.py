@@ -153,9 +153,88 @@ def bench_local_ba():
           flush=True)
 
 
+def _make_problem(C, L, O, seed=1):
+    import jax.numpy as jnp
+    from eacham_tpu.ba.core import BAProblem
+
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-2, 2, size=(L, 3)) + [0, 0, 6]
+    poses = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
+    poses[:, :3, 3] = rng.normal(scale=0.3, size=(C, 3))
+    intr = np.array([600.0, 600.0, 320.0, 240.0], np.float32)
+    obs_cam = rng.integers(0, C, O).astype(np.int32)
+    obs_pt = rng.integers(0, L, O).astype(np.int32)
+    pc = np.einsum("oij,oj->oi", poses[obs_cam, :3, :3], pts[obs_pt]) \
+        + poses[obs_cam, :3, 3]
+    uv = np.stack([intr[0] * pc[:, 0] / pc[:, 2] + intr[2],
+                   intr[1] * pc[:, 1] / pc[:, 2] + intr[3]], -1)
+    uv += rng.normal(scale=0.5, size=uv.shape)
+    return BAProblem(
+        poses=jnp.asarray(poses), points=jnp.asarray(pts, jnp.float32),
+        intr=jnp.asarray(intr),
+        obs_cam=jnp.asarray(obs_cam), obs_pt=jnp.asarray(obs_pt),
+        obs_uv=jnp.asarray(uv, jnp.float32),
+        obs_mask=jnp.ones(O, bool),
+        cam_in_ba=jnp.ones(C, bool),
+        cam_fixed=jnp.zeros(C, bool).at[0].set(True),
+        pt_in_ba=jnp.ones(L, bool),
+        pt_obs_count=jnp.full(L, O / L, jnp.float32),
+    )
+
+
+def bench_ba_solvers():
+    """Per-LM-iteration wall time + achieved FLOP/s for the dense-Schur AND
+    implicit-PCG global solvers at bench and stress shapes (VERDICT r3 #7).
+
+    FLOPs come from XLA's own cost model (compiled.cost_analysis()), so
+    the MFU figures account for what the compiler actually emitted — not
+    just the hand-derived dominant terms.
+    """
+    import jax
+    from eacham_tpu.ba.core import BAConfig, refine_ba
+
+    shapes = [
+        ("bench-global  (C=100, L=16k, O=49k)", 100, 16384, 49152),
+        ("stress-global (C=500, L=64k, O=256k)", 500, 65536, 262144),
+    ]
+    for label, C, L, O in shapes:
+        prob = _make_problem(C, L, O)
+        for solver in ("dense", "pcg"):
+            try:
+                cfg1 = BAConfig(max_iters=1, tolerance=0.0, solver=solver)
+                cfg11 = BAConfig(max_iters=11, tolerance=0.0, solver=solver)
+                # XLA-estimated FLOPs of the whole 1-iter program
+                try:
+                    lowered = jax.jit(refine_ba, static_argnums=1).lower(
+                        prob, cfg1)
+                    cost = lowered.compile().cost_analysis()
+                    xla_flops = float((cost or {}).get("flops", 0.0))
+                except Exception:
+                    xla_flops = 0.0
+                fetch(refine_ba(prob, cfg1)[0])
+                t0 = time.perf_counter()
+                fetch(refine_ba(prob, cfg1)[0])
+                t1 = time.perf_counter() - t0
+                fetch(refine_ba(prob, cfg11)[0])
+                t0 = time.perf_counter()
+                fetch(refine_ba(prob, cfg11)[0])
+                t11 = time.perf_counter() - t0
+                t_iter = max((t11 - t1) / 10.0, 1e-9)
+                tfps = xla_flops / t_iter / 1e12 if xla_flops else float("nan")
+                print(f"[BA {solver:5s}] {label}: {t_iter*1e3:7.1f} ms/iter "
+                      f"(1-iter wall {t1*1e3:.0f} ms); XLA-counted "
+                      f"{xla_flops/1e9:.2f} GFLOP/prog -> {tfps:.3f} TFLOP/s "
+                      f"({100*tfps*1e12/PEAK_FP32:.2f}% of fp32 peak)",
+                      flush=True)
+            except Exception as e:  # OOM / unsupported on this backend
+                print(f"[BA {solver:5s}] {label}: skipped ({type(e).__name__}: "
+                      f"{str(e)[:120]})", flush=True)
+
+
 if __name__ == "__main__":
     from eacham_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     bench_matcher()
     bench_local_ba()
+    bench_ba_solvers()

@@ -8,6 +8,11 @@ import jax.numpy as jnp
 
 from eacham_tpu.sfm.matches import all_pairs_index, candidate_pairs
 
+import pytest
+
+# e2e/scale tier — excluded from the core tier (pytest -m 'not slow', README)
+pytestmark = pytest.mark.slow
+
 
 def _frames_with_loop(rng, n_frames=30, n_pts=96, d=64):
     """Sequence descriptors where frame N-1 revisits frame 0's content

@@ -15,6 +15,11 @@ from PIL import Image
 from eacham_tpu.utils.synthetic import render_sequence
 from eacham_tpu.utils.evaluate import ate_rmse
 
+import pytest
+
+# e2e/scale tier — excluded from the core tier (pytest -m 'not slow', README)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def dataset(tmp_path_factory):

@@ -13,6 +13,11 @@ from eacham_tpu.sfm import run_sfm, SfmOptions
 from eacham_tpu.sfm.matches import all_pairs_index
 from eacham_tpu.utils.evaluate import ate_rmse
 
+import pytest
+
+# e2e/scale tier — excluded from the core tier (pytest -m 'not slow', README)
+pytestmark = pytest.mark.slow
+
 WEIGHTS = Path(__file__).resolve().parent.parent / "weights"
 
 

@@ -10,6 +10,11 @@ from tests.test_pipeline import make_feature_world
 from eacham_tpu.sfm import run_sfm, SfmOptions
 from eacham_tpu.utils.evaluate import ate_rmse
 
+import pytest
+
+# e2e/scale tier — excluded from the core tier (pytest -m 'not slow', README)
+pytestmark = pytest.mark.slow
+
 
 def _ate(scene, poses_gt):
     valid = np.asarray(scene.pose_valid)

@@ -9,6 +9,11 @@ from eacham_tpu.sfm.matches import all_pairs_index
 from eacham_tpu.sfm.scene import make_scene, alloc_landmarks
 from eacham_tpu.utils.viz import draw_matches
 
+import pytest
+
+# e2e/scale tier — excluded from the core tier (pytest -m 'not slow', README)
+pytestmark = pytest.mark.slow
+
 
 def _tiny_scene(rng):
     N, K = 4, 16

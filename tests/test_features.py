@@ -10,6 +10,11 @@ from eacham_tpu.features import (
     extract_features,
 )
 
+import pytest
+
+# e2e/scale tier — excluded from the core tier (pytest -m 'not slow', README)
+pytestmark = pytest.mark.slow
+
 
 def _texture(rng, H=240, W=320, blobs=60):
     """Random blob texture with strong local structure."""

@@ -13,6 +13,11 @@ from tests.test_pipeline import make_feature_world
 from eacham_tpu.sfm import run_sfm, SfmOptions
 from eacham_tpu.utils.evaluate import ate_rmse
 
+import pytest
+
+# e2e/scale tier — excluded from the core tier (pytest -m 'not slow', README)
+pytestmark = pytest.mark.slow
+
 
 def test_map_refine_with_unregistered_frame():
     rng = np.random.default_rng(11)

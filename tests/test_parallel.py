@@ -17,6 +17,11 @@ from eacham_tpu.features.matching import match_all_pairs
 from eacham_tpu.parallel import make_mesh, match_all_pairs_sharded, refine_ba_sharded
 from eacham_tpu.sfm.matches import all_pairs_index
 
+import pytest
+
+# e2e/scale tier — excluded from the core tier (pytest -m 'not slow', README)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def mesh():

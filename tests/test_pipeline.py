@@ -15,6 +15,11 @@ from tests.conftest import make_synthetic_scene
 from eacham_tpu.sfm import run_sfm, SfmOptions
 from eacham_tpu.utils.evaluate import align_umeyama, ate_rmse
 
+import pytest
+
+# e2e/scale tier — excluded from the core tier (pytest -m 'not slow', README)
+pytestmark = pytest.mark.slow
+
 
 def make_feature_world(rng, n_cams=8, n_pts=300, noise=0.3, img=(640, 480), f=600.0):
     """Synthetic GT -> (keypoints, descriptors, masks) in the frontend's

@@ -11,6 +11,11 @@ import jax.numpy as jnp
 from tests.test_pipeline import make_feature_world
 from eacham_tpu.sfm import run_sfm, SfmOptions
 
+import pytest
+
+# e2e/scale tier — excluded from the core tier (pytest -m 'not slow', README)
+pytestmark = pytest.mark.slow
+
 
 def _opts(**kw):
     base = dict(min_initial_inliers=60, min_matches=15,

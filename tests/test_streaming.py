@@ -12,6 +12,11 @@ from eacham_tpu.sfm.streaming import StreamingReconstructor
 from eacham_tpu.utils.evaluate import ate_rmse
 from eacham_tpu.utils.synthetic import make_blob_scene, orbit_poses, render_view
 
+import pytest
+
+# e2e/scale tier — excluded from the core tier (pytest -m 'not slow', README)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def stream_scene():
