@@ -111,6 +111,52 @@ class TumDataset:
         ts = self.timestamps if n is None else self.timestamps[:n]
         return self.groundtruth.associate(ts)
 
+    # TUM depth registration: 16-bit PNGs scaled by 5000 (depth in meters
+    # = pixel / 5000), indexed by depth.txt. Feeds sfm.rgbd.run_sfm_rgbd
+    # via depth_at_keypoints for METRIC reconstruction.
+    DEPTH_SCALE = 1.0 / 5000.0
+
+    def load_depth(self, max_count: int = 0, max_dt: float = 0.02):
+        """Depth maps associated to the rgb frames by nearest timestamp.
+
+        Returns ``(depth [N, H, W] float32 meters, has_depth [N] bool)``;
+        frames with no depth within ``max_dt`` get all-zero maps (invalid
+        depth — the rgbd pipeline treats 0 as missing).
+        """
+        from PIL import Image
+
+        idx_file = self.root / "depth.txt"
+        ts_rgb = (self.timestamps[:max_count] if max_count > 0
+                  else self.timestamps)
+        if not idx_file.exists():
+            return None, np.zeros(len(ts_rgb), bool)
+        dts, dfiles = [], []
+        for line in idx_file.read_text().splitlines():
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            t, rel = line.split()[:2]
+            dts.append(float(t))
+            dfiles.append(rel)
+        dts = np.asarray(dts)
+        maps, has = [], []
+        for t in ts_rgb:
+            j = int(np.argmin(np.abs(dts - t))) if len(dts) else -1
+            if j < 0 or abs(dts[j] - t) > max_dt:
+                maps.append(None)
+                has.append(False)
+                continue
+            arr = np.asarray(Image.open(self.root / dfiles[j]))
+            maps.append(arr.astype(np.float32) * self.DEPTH_SCALE)
+            has.append(True)
+        H = max((m.shape[0] for m in maps if m is not None), default=1)
+        W = max((m.shape[1] for m in maps if m is not None), default=1)
+        out = np.zeros((len(ts_rgb), H, W), np.float32)
+        for i, m in enumerate(maps):
+            if m is not None:
+                out[i, :m.shape[0], :m.shape[1]] = m
+        return out, np.asarray(has)
+
 
 # ------------------------------------------------------------------- KITTI --
 

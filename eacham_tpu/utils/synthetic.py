@@ -175,6 +175,25 @@ def photometric_augment(img: np.ndarray, rng, brightness: float = 0.12,
     return np.clip(out, 0.0, 1.0).astype(np.float32)
 
 
+def gaussian_blur(img: np.ndarray, sigma: float) -> np.ndarray:
+    """Separable gaussian blur (motion/defocus nuisance for robustness
+    sweeps — scripts/robustness_matrix.py); dependency-free."""
+    if sigma <= 0:
+        return img
+    r = max(1, int(3 * sigma))
+    x = np.arange(-r, r + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    # reflect-pad before convolving: zero padding would darken borders
+    # (a vignetting artifact on top of the intended blur)
+    pad = np.pad(img, r, mode="reflect")
+    out = np.apply_along_axis(
+        lambda row: np.convolve(row, k, mode="valid"), 1, pad)
+    out = np.apply_along_axis(
+        lambda col: np.convolve(col, k, mode="valid"), 0, out)
+    return out.astype(np.float32)
+
+
 def orbit_poses(n_frames: int, radius: float = 0.8, step_deg: float = 2.0,
                 advance: float = 0.1):
     """Slowly orbiting/advancing camera path (world->cam matrices)."""

@@ -76,6 +76,10 @@ def main():
                     help="pre-rendered fine-tune batch pool size (cycled); "
                          "rendering dominates fine-tune wall time otherwise")
     ap.add_argument("--save", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="initialize from weights/lightglue_scan.npz "
+                         "(e.g. pretrain in one invocation, fine-tune in "
+                         "a later one)")
     args = ap.parse_args()
 
     import jax
@@ -100,11 +104,18 @@ def main():
 
     # ---- phase 1: random-descriptor pretrain ------------------------------
     params = None
+    if args.resume and (WEIGHTS / "lightglue_scan.npz").exists():
+        from eacham_tpu.features.deep.lightglue import init_params_scan
+        params = init_params_scan(key, n_layers=L, n_kps=64)
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32),
+            lg.load_params(WEIGHTS / "lightglue_scan.npz", params))
+        print("resumed from weights/lightglue_scan.npz", flush=True)
     if args.pretrain > 0:
         print(f"== pretrain {args.pretrain} steps (L={L}) ==", flush=True)
         params, _ = train_lightglue_scan(
             steps=args.pretrain, batch=args.batch, lr=args.lr_pre,
-            n_layers=L, n_kps=64, log_every=200)
+            n_layers=L, n_kps=64, log_every=200, params=params)
         print(f"pretrain done in {time.time()-t0:.0f}s", flush=True)
 
     # ---- phase 2: SuperPoint-output fine-tune at production K -------------

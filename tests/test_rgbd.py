@@ -114,3 +114,32 @@ def test_depth_at_keypoints():
     xy = jnp.asarray([[[1.2, 0.4], [3.9, 2.1]]])
     z = depth_at_keypoints(depth, xy)
     np.testing.assert_allclose(np.asarray(z), [[1.0, 11.0]])
+
+
+def test_tum_depth_loading(tmp_path):
+    """TumDataset.load_depth: 16-bit PNG / 5000 association contract."""
+    from PIL import Image
+    from eacham_tpu.io.datasets import TumDataset
+
+    root = tmp_path
+    (root / "rgb").mkdir()
+    (root / "depth").mkdir()
+    rgb_lines, depth_lines = ["# c"], ["# d"]
+    for i, t in enumerate([1.00, 1.05, 1.10]):
+        img = Image.fromarray((np.ones((8, 10)) * 80).astype(np.uint8))
+        img.save(root / "rgb" / f"{t:.6f}.png")
+        rgb_lines.append(f"{t:.6f} rgb/{t:.6f}.png")
+        if i != 1:  # frame 1 has NO depth -> must come back invalid
+            d = (np.full((8, 10), 5000 * (i + 1))).astype(np.uint16)
+            Image.fromarray(d, mode="I;16").save(
+                root / "depth" / f"{t + 0.004:.6f}.png")
+            depth_lines.append(f"{t + 0.004:.6f} depth/{t + 0.004:.6f}.png")
+    (root / "rgb.txt").write_text("\n".join(rgb_lines))
+    (root / "depth.txt").write_text("\n".join(depth_lines))
+
+    ds = TumDataset.open(root)
+    depth, has = ds.load_depth()
+    assert has.tolist() == [True, False, True]
+    np.testing.assert_allclose(depth[0], 1.0)
+    np.testing.assert_allclose(depth[1], 0.0)
+    np.testing.assert_allclose(depth[2], 3.0)

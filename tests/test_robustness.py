@@ -72,3 +72,39 @@ def test_minimum_frame_count(rng):
     )
     assert stats["initialized"]
     assert stats["registered"] == 2
+
+
+def test_photometric_noise_blur(rng):
+    """Full rendered pipeline under sensor noise + blur (VERDICT r3 #4) —
+    the small CI cell of scripts/robustness_matrix.py's sweep."""
+    import jax.numpy as jnp
+    from eacham_tpu.features.frontend import extract_features
+    from eacham_tpu.utils.evaluate import ate_rmse
+    from eacham_tpu.utils.synthetic import (
+        gaussian_blur, make_surface_scene, orbit_poses, render_view,
+    )
+
+    W, H, N = 320, 240, 14
+    f = 1.2 * max(W, H)
+    intr = np.array([f, f, W / 2, H / 2], np.float32)
+    world = make_surface_scene(rng, n_blobs=2500)
+    poses = orbit_poses(N, radius=0.6, step_deg=1.2, advance=0.05)
+    imgs = np.stack([render_view(world, T, intr, W, H) for T in poses])
+    imgs = np.stack([gaussian_blur(im, 1.0) for im in imgs])
+    imgs = np.clip(imgs + rng.normal(scale=0.03, size=imgs.shape), 0, 1)
+
+    xy, desc, score, mask = extract_features(
+        jnp.asarray(imgs.astype(np.float32)), max_keypoints=256)
+    scene, stats = run_sfm(
+        xy, desc, mask, image_size=(W, H), intr=jnp.asarray(intr),
+        options=_opts(min_initial_inliers=60, match_ratio=0.85,
+                      init_min_tri_angle_deg=1.0, min_tri_angle_deg=1.0,
+                      lm_capacity=4096),
+        verbose=False)
+    valid = np.asarray(scene.pose_valid)
+    assert valid.sum() >= N - 2, stats
+    est = np.asarray(scene.pose)[valid]
+    gt = poses[valid]
+    c_est = -np.einsum("nij,ni->nj", est[:, :3, :3], est[:, :3, 3])
+    c_gt = -np.einsum("nij,ni->nj", gt[:, :3, :3], gt[:, :3, 3])
+    assert ate_rmse(c_est, c_gt) < 0.1
