@@ -25,7 +25,10 @@ NEG = -1e9
 # materialization). Measured on v5e, 2048 pairs K=1024: the old
 # max/argmax/one_hot/max sequence cost ~170 ms over the 34 ms matmul.
 _QSCALE = 16384.0
-_IMIN = jnp.int32(-(2 ** 30))
+# plain int (NOT jnp.int32): a module-level device array would initialize
+# the XLA backend at import time, which breaks jax.distributed.initialize
+# in multi-process runs (it must run before any backend query)
+_IMIN = -(2 ** 30)
 
 
 def _top2_packed(s, axis):

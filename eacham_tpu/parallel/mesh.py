@@ -30,8 +30,15 @@ def init_distributed(
     in single-process runs: with no coordinator configured (args or
     standard cluster env vars) it is a no-op returning False.
     """
-    if jax.process_count() > 1:
-        return True
+    # IMPORTANT: do not touch jax.devices()/process_count() before
+    # initialize() — any backend query initializes the runtime single-
+    # process and the late initialize() is then ignored (measured: the
+    # two-process rehearsal saw process_count()==1 exactly because this
+    # function previously probed process_count() first).
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return jax.process_count() > 1
     import os
     coord = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coord is None and num_processes is None:

@@ -33,6 +33,12 @@ LOCAL_DEVICES = 4
 
 def worker(rank: int, coord: str) -> None:
     import jax
+
+    # must run BEFORE any backend query (see init_distributed docstring):
+    # pin the CPU platform and the cross-process CPU collectives backend
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -60,9 +66,9 @@ def worker(rank: int, coord: str) -> None:
     )
     from jax.experimental import multihost_utils
 
-    ok_all = multihost_utils.process_allgather(ok)
-    assert bool(np.asarray(ok_all).reshape(N_PROCS, -1)[0, 0]), \
-        "frame (0,1) edge must survive on every process"
+    ok_all = multihost_utils.process_allgather(ok, tiled=True)
+    assert bool(np.asarray(ok_all)[0]), \
+        "frame (0,1) edge must survive the sharded match"
 
     # --- observation-sharded BA with cross-process psum -------------------
     from eacham_tpu.ba.core import BAConfig, BAProblem
