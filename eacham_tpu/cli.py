@@ -20,7 +20,8 @@ import numpy as np
 
 def run(config_path: str, max_keypoints: int = 1024, verbose: bool = True,
         frontend: str = "classical", weights_dir: str | None = None,
-        n_devices: int = 1, match_threshold: float = 0.5) -> dict:
+        n_devices: int = 1, match_threshold: float = 0.5,
+        distortion=None) -> dict:
     from eacham_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -57,6 +58,19 @@ def run(config_path: str, max_keypoints: int = 1024, verbose: bool = True,
     # unequal-size frames are zero-padded to the batch max; drop keypoints
     # that fired on padding (incl. the artificial image/pad edge)
     mask = mask & _in_frame_mask(xy, batch.sizes)
+    if distortion is not None and any(float(d) != 0.0 for d in distortion):
+        # undistort-on-ingest (ICamera.h:30-44 carries distortion that the
+        # reference never applies): downstream stays pinhole-exact
+        from eacham_tpu.geometry.camera import (
+            intrinsics_from_image_size, undistort_keypoints,
+        )
+
+        xy = undistort_keypoints(
+            xy, intrinsics_from_image_size(w0, h0),
+            jnp.asarray(list(distortion), jnp.float32))
+        if verbose:
+            print(f"undistorted keypoints with [k1 k2 p1 p2 k3] = "
+                  f"{list(distortion)}")
     with BlockTimer("SfM", verbose=verbose):       # match + loop + BA
         scene, stats = run_sfm(
             xy, desc, mask,
@@ -160,12 +174,19 @@ def main(argv=None):
                     help="deep-matcher score gate (reference default 0.5; "
                          "the measured high-recall point is 0.3 -- the "
                          "epipolar verification cleans the extra matches)")
+    ap.add_argument("--distortion", default=None,
+                    help="lens model 'k1,k2,p1,p2,k3' (Brown-Conrady); "
+                         "keypoints are undistorted on ingest")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
+    dist = (None if args.distortion is None
+            else [float(v) for v in args.distortion.split(",")])
+    if dist is not None and len(dist) != 5:
+        ap.error("--distortion needs 5 comma-separated values")
     stats = run(args.config, max_keypoints=args.max_keypoints,
                 verbose=not args.quiet, frontend=args.frontend,
                 weights_dir=args.weights, n_devices=args.devices,
-                match_threshold=args.match_threshold)
+                match_threshold=args.match_threshold, distortion=dist)
     return 0 if stats.get("initialized") else 1
 
 
