@@ -37,7 +37,17 @@ def align_umeyama(src: np.ndarray, dst: np.ndarray, with_scale: bool = True):
 
 
 def ate_rmse(est_centers: np.ndarray, gt_centers: np.ndarray) -> float:
-    """RMSE of camera centers after similarity alignment."""
+    """RMSE of camera centers after similarity alignment.
+
+    Degenerate input (fewer than 3 poses, or non-finite centers from a
+    diverged solve) returns ``inf`` instead of raising — callers gate on a
+    threshold, and LAPACK's SVD does not converge on NaNs.
+    """
+    est_centers = np.asarray(est_centers, np.float64)
+    gt_centers = np.asarray(gt_centers, np.float64)
+    if (len(est_centers) < 3 or not np.isfinite(est_centers).all()
+            or not np.isfinite(gt_centers).all()):
+        return float("inf")
     s, R, t = align_umeyama(est_centers, gt_centers)
     aligned = (s * (R @ est_centers.T)).T + t
     err = aligned - gt_centers

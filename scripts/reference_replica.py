@@ -798,13 +798,47 @@ def main():
                          "init_min_tri_angle_deg/min_tri_angle_deg)")
     ap.add_argument("--write", action="store_true",
                     help="write REFERENCE_FPS + BASELINE_MEASURED.json")
+    ap.add_argument("--stress", action="store_true",
+                    help="use the stress_500 textured-surface orbit "
+                         "workload instead of the bench blob orbit")
     args = ap.parse_args()
 
-    import bench
-    bench.N_FRAMES = args.frames
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
-    images, poses_gt, intr = bench.render_workload(rng)
+    if args.stress:
+        # EXACT stress workload (scripts/stress_500.py): textured surface
+        # world, look-at orbit radius 14, 360*1.04 deg over --frames
+        from eacham_tpu.utils.synthetic import make_surface_scene, render_view
+
+        W, H = 512, 384
+        f = 1.2 * max(W, H)
+        intr = np.array([f, f, W / 2, H / 2], np.float32)
+        center = np.array([0.0, 0.0, 9.0], np.float32)
+        orbit_r = 14.0
+        N = args.frames
+        poses_l = []
+        for i in range(N):
+            a = np.deg2rad(360.0 * 1.04 * i / N)
+            cam = center + orbit_r * np.array(
+                [np.sin(a), 0.025 * np.sin(5 * a), -np.cos(a)], np.float32)
+            fwd = center - cam
+            fwd /= np.linalg.norm(fwd)
+            right = np.cross([0.0, 1.0, 0.0], fwd)
+            right /= np.linalg.norm(right)
+            up = np.cross(fwd, right)
+            R = np.stack([right, up, fwd]).astype(np.float32)
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = R
+            T[:3, 3] = -R @ cam
+            poses_l.append(T)
+        poses_gt = np.stack(poses_l)
+        world = make_surface_scene(rng, n_blobs=4000, jitter=0.05)
+        images = np.stack([
+            render_view(world, T, intr, W, H) for T in poses_gt])
+    else:
+        import bench
+        bench.N_FRAMES = args.frames
+        images, poses_gt, intr = bench.render_workload(rng)
     print(f"# rendered {args.frames} frames in {time.perf_counter()-t0:.1f}s",
           flush=True)
     images_u8 = [(im * 255).astype(np.uint8) for im in images]
@@ -833,7 +867,8 @@ def main():
 
     fps = args.frames / total
     out = {
-        "workload": f"bench_{args.frames}",
+        "workload": ("stress_" if args.stress else "bench_")
+                    + str(args.frames),
         "frames": args.frames,
         "registered": len(valid),
         "landmarks": int(sum(smap.status.values())),
@@ -848,7 +883,8 @@ def main():
     print(json.dumps(out, indent=2))
     if args.write:
         root = Path(__file__).resolve().parents[1]
-        (root / "REFERENCE_FPS").write_text(f"{fps:.4f}\n")
+        if not args.stress:     # bench.py's vs_baseline is the bench ratio
+            (root / "REFERENCE_FPS").write_text(f"{fps:.4f}\n")
         p = root / "BASELINE_MEASURED.json"
         hist = json.loads(p.read_text()) if p.exists() else []
         hist.append(out)

@@ -143,18 +143,31 @@ def main():
             updates, opt_state = tx.update(g, opt_state)
             return optax.apply_updates(params, updates), opt_state, l, aux
 
-        print(f"== rendering fine-tune pool ({args.pool} batches) ==",
-              flush=True)
-        tp0 = time.time()
-        pool = [make_sp_batch(sp_params, rng, batch=args.batch, width=224,
-                              height=168, n_blobs=110, max_kps=args.kps)
-                for _ in range(args.pool)]
-        print(f"pool rendered in {time.time()-tp0:.0f}s", flush=True)
-        order = np.arange(len(pool))
+        # pool > 0: pre-render and cycle (fast, some reuse); pool == 0:
+        # stream FRESH batches every step, alternating easy/hard configs —
+        # slower per step but no epoch reuse (the r4 pool run measured
+        # held-out recall 0.22 vs the streaming 3-layer run's 0.52: reuse
+        # overfits the matcher to the pool's specific distractor layouts)
+        cfgs = [dict(width=160, height=120, n_blobs=70,
+                     max_kps=min(args.kps, 64)),
+                dict(width=224, height=168, n_blobs=110, max_kps=args.kps)]
+        if args.pool > 0:
+            print(f"== rendering fine-tune pool ({args.pool} batches) ==",
+                  flush=True)
+            tp0 = time.time()
+            pool = [make_sp_batch(sp_params, rng, batch=args.batch,
+                                  **cfgs[1])
+                    for _ in range(args.pool)]
+            print(f"pool rendered in {time.time()-tp0:.0f}s", flush=True)
+            order = np.arange(len(pool))
         for i in range(args.finetune):
-            if i % len(pool) == 0:
-                rng.shuffle(order)
-            b = pool[order[i % len(pool)]]
+            if args.pool > 0:
+                if i % len(pool) == 0:
+                    rng.shuffle(order)
+                b = pool[order[i % len(pool)]]
+            else:
+                b = make_sp_batch(sp_params, rng, batch=args.batch,
+                                  **cfgs[i % 2])
             params, opt_state, l, aux = step(
                 params, opt_state, *(jnp.asarray(x) for x in b))
             if i % 200 == 0:
