@@ -13,6 +13,7 @@ consumes — so ``run_sfm`` runs unchanged on either frontend.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from pathlib import Path
 
@@ -24,21 +25,26 @@ from eacham_tpu.features.deep import lightglue as lg
 from eacham_tpu.features.deep import superpoint as sp
 
 
-def load_frontend_params(weights_dir=None, key=None):
+def load_frontend_params(weights_dir=None, key=None, prefer=None):
     """Load the shipped (or ``weights_dir``-supplied) deep-frontend weights.
 
     Returns ``(sp_params, lg_params, n_layers)``; falls back to random
     initialization for any missing .npz so examples/tests run without
     trained checkpoints. ``n_layers`` comes from the .meta file.
 
-    When scanned-matcher weights (``lightglue_scan.npz``, trained at
-    reference capacity with per-layer heads) are present they are
-    preferred; the returned params then carry stacked [L, ...] layer
-    parameters and matching goes through ``lg.match_deep_scan`` /
-    ``lg.match_deep_adaptive`` (``matcher_kind`` below reports which).
+    ``prefer`` ("legacy" | "scan", default from ``EACHAM_DEEP_MATCHER``
+    env, else "legacy"): which matcher checkpoint to load. The legacy
+    3-layer checkpoint is the measured-best e2e operating point (N=100
+    bench_deep); ``scan`` selects the reference-capacity stacked-[L,...]
+    weights (``lightglue_scan.npz``, adaptive-depth capable) whose
+    finetune currently trades recall for precision (meta: recall 0.193
+    at t=0.5) and loses end-to-end. ``matcher_kind`` reports which kind
+    a params tree is.
     """
     wdir = Path(weights_dir) if weights_dir else (
         Path(__file__).resolve().parents[3] / "weights")
+    if prefer is None:
+        prefer = os.environ.get("EACHAM_DEEP_MATCHER", "legacy")
     key = key if key is not None else jax.random.PRNGKey(0)
     sp_params = sp.init_params(key)
     if (wdir / "superpoint.npz").exists():
@@ -53,7 +59,7 @@ def load_frontend_params(weights_dir=None, key=None):
                     return int(line.split("=")[1])
         return default
 
-    if (wdir / "lightglue_scan.npz").exists():
+    if prefer == "scan" and (wdir / "lightglue_scan.npz").exists():
         n_layers = _meta_layers(wdir / "lightglue_scan.meta", 6)
         lg_params = lg.init_params_scan(key, n_layers=n_layers)
         lg_params = jax.tree_util.tree_map(

@@ -88,8 +88,23 @@ def make_batch(rng, batch=8, **kw):
 # --------------------------------------------------------------------------
 
 def train_superpoint(steps=200, batch=8, lr=1e-3, seed=0, params=None,
-                     log_every=50, **data_kw):
-    """Returns trained params. Fast smoke: steps≈200; real: 10k+."""
+                     log_every=50, trainable=None, anchor_params=None,
+                     anchor_weight=20.0, **data_kw):
+    """Returns trained params. Fast smoke: steps≈200; real: 10k+.
+
+    ``trainable``: optional set of top-level module names (e.g.
+    {"det1", "det2"}) — gradients for every other subtree are zeroed.
+    Head-only refreshes keep the descriptor field (and thus a finetuned
+    downstream matcher's input domain) bit-identical.
+
+    ``anchor_params``: frozen reference params; when given, an L2
+    distillation term (weight ``anchor_weight``) pins the descriptor
+    field to the reference's output. Detector improvements (e.g. the
+    subpixel bilinear-label loss) then need the full backbone free WITHOUT
+    drifting the descriptor domain a finetuned matcher was trained on
+    (measured: an unanchored subpix retrain halved localization error but
+    cost 0.077 -> 0.34 e2e ATE through matcher domain shift).
+    """
     from eacham_tpu.features.deep import superpoint as sp
 
     rng = np.random.default_rng(seed)
@@ -99,12 +114,21 @@ def train_superpoint(steps=200, batch=8, lr=1e-3, seed=0, params=None,
     tx = optax.adam(lr)
     opt_state = tx.init(params)
 
+    def freeze(g):
+        if trainable is None:
+            return g
+        return {"params": {k: (v if k in trainable
+                               else jax.tree_util.tree_map(jnp.zeros_like, v))
+                           for k, v in g["params"].items()}}
+
     @jax.jit
     def step(params, opt_state, img0, img1, kp0, kp1, mask):
         def loss_fn(p):
-            return _sp_loss(p, img0, img1, kp0, kp1, mask)
+            return _sp_loss(p, img0, img1, kp0, kp1, mask,
+                            anchor_params=anchor_params,
+                            anchor_weight=anchor_weight)
         (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(g, opt_state)
+        updates, opt_state = tx.update(freeze(g), opt_state)
         return optax.apply_updates(params, updates), opt_state, l, aux
 
     losses = []
@@ -121,7 +145,8 @@ def train_superpoint(steps=200, batch=8, lr=1e-3, seed=0, params=None,
     return params, losses
 
 
-def _sp_loss(params, img0, img1, kp0, kp1, mask):
+def _sp_loss(params, img0, img1, kp0, kp1, mask, anchor_params=None,
+             anchor_weight=20.0):
     """Loss using the public apply (heatmap + desc field)."""
     from eacham_tpu.features.deep.superpoint import SuperPointNet, CELL, _bilinear_field
 
@@ -130,23 +155,37 @@ def _sp_loss(params, img0, img1, kp0, kp1, mask):
 
     def side(img, kps):
         heat, desc_field = model.apply(params, img)
-        # detector: push heatmap mass onto GT pixels (soft CE on log-heat)
+        # detector: bilinear cross-entropy against the SUBPIXEL GT location.
+        # The target distribution over the 2x2 neighborhood carries the
+        # bilinear weights of the true float keypoint, so the learned heat
+        # places mass whose local centroid IS the subpixel position — which
+        # extract_deep's 3x3 soft-argmax (_soft_refine) then reads out.
+        # (An integer gather here caps localization at +-0.5 px and was the
+        # deep path's dominant ATE term vs the classical DoG subpixel fit.)
         eps = 1e-8
         def gather(hm, p):
-            xi = jnp.clip(p[:, 0].astype(jnp.int32), 0, W - 1)
-            yi = jnp.clip(p[:, 1].astype(jnp.int32), 0, H - 1)
-            return hm[yi, xi]
+            x = jnp.clip(p[:, 0], 0.0, W - 1.001)
+            y = jnp.clip(p[:, 1], 0.0, H - 1.001)
+            x0 = jnp.floor(x).astype(jnp.int32)
+            y0 = jnp.floor(y).astype(jnp.int32)
+            fx, fy = x - x0, y - y0
+            lh = jnp.log(jnp.stack(
+                [hm[y0, x0], hm[y0, x0 + 1],
+                 hm[y0 + 1, x0], hm[y0 + 1, x0 + 1]]) + eps)
+            w = jnp.stack([(1 - fy) * (1 - fx), (1 - fy) * fx,
+                           fy * (1 - fx), fy * fx])
+            return -(w * lh).sum(0)                          # CE per keypoint
         at_kp = jax.vmap(gather)(heat, kps)                  # [B, K]
-        det = -(jnp.log(at_kp + eps) * mask).sum() / jnp.maximum(mask.sum(), 1)
+        det = (at_kp * mask).sum() / jnp.maximum(mask.sum(), 1)
 
         pts = kps / CELL
         d = jax.vmap(lambda f, p: _bilinear_field(f, p[:, 0], p[:, 1]))(
             desc_field, pts)
         d = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-8)
-        return det, d
+        return det, d, desc_field
 
-    det0, d0 = side(img0, kp0)
-    det1, d1 = side(img1, kp1)
+    det0, d0, f0 = side(img0, kp0)
+    det1, d1, f1 = side(img1, kp1)
 
     sim = jnp.einsum("bkd,bld->bkl", d0, d1) / 0.07
     live = mask[:, :, None] & mask[:, None, :]
@@ -159,7 +198,15 @@ def _sp_loss(params, img0, img1, kp0, kp1, mask):
     m = mask.astype(jnp.float32)
     desc_l = ((ce_row + ce_col) * m).sum() / jnp.maximum(m.sum(), 1.0)
     det = det0 + det1
-    return det + desc_l, {"det": det, "desc": desc_l}
+    anchor_l = 0.0
+    if anchor_params is not None:
+        _, a0 = model.apply(anchor_params, img0)
+        _, a1 = model.apply(anchor_params, img1)
+        anchor_l = anchor_weight * 0.5 * (
+            ((f0 - jax.lax.stop_gradient(a0)) ** 2).mean()
+            + ((f1 - jax.lax.stop_gradient(a1)) ** 2).mean())
+    return det + desc_l + anchor_l, {
+        "det": det, "desc": desc_l, "anchor": anchor_l}
 
 
 # --------------------------------------------------------------------------

