@@ -597,25 +597,39 @@ def _solve_schur_dense(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig,
     # are pinned to zero), mirroring the PCG operator's vc_act masking
     Jc_act = Jc * cam_w[p.obs_cam][:, None, :]
 
-    # W blocks, scattered by (landmark, camera) — one segment-sum each
-    Wc_flat = _reduce(
-        jax.ops.segment_sum(
-            jnp.einsum("oki,okj->oij", Jc_act, Jp),
-            p.obs_pt * N + p.obs_cam,
-            num_segments=L * N,
-        ),
+    # W blocks, scattered by (landmark, camera) in the TRANSPOSED [18, L*N]
+    # layout: a [L*N, 6, 3] scatter output tiles its (6, 3) minor dims to
+    # (8, 128) — 6.6 GB physical for the 118 MB logical tensor at the
+    # bench-global shape, and the single largest term of the 20 GB/iter
+    # HBM traffic XLA counted for one dense LM iteration (r4). [18, L*N]
+    # tiles at 1.33x instead.
+    W18 = _reduce(
+        jnp.zeros((18, L * N), Jc.dtype).at[
+            :, p.obs_pt * N + p.obs_cam
+        ].add(jnp.einsum("oki,okj->ijo", Jc_act, Jp).reshape(18, -1)),
         axis_name,
     )
-    Wc = Wc_flat.reshape(L, N, 6, 3)
     Wk = blk["seg_p"](jnp.einsum("oki,okj->oij", Jk, Jp), p.obs_pt)  # [L,2,3]
     # cam-K coupling (present in the implicit operator through t)
     Uck = blk["seg_c"](jnp.einsum("oki,okj->oij", Jc_act, Jk), p.obs_cam)
 
-    Yc = jnp.einsum("lnab,lbc->lnac", Wc, Vinv)                    # [L,N,6,3]
+    # Packed layouts for the Schur products: arrays whose MINOR dims are
+    # (6, 3) tile onto TPU as (8, 128) physical blocks — the dominant
+    # product ran at 1.86% of fp32 peak through that inflation
+    # (scripts/roofline.py, r4). Packing W and Y as [3, L, 6N] (minor dims
+    # large) turns S_cc = Y V^-1 W^T into ONE [6N, 3L] x [3L, 6N] matmul
+    # with MXU-shaped operands.
+    n6 = 6 * N
+    W_pack = W18.reshape(6, 3, L, N).transpose(1, 2, 3, 0) \
+                .reshape(3, L, n6)                                 # [3,L,6N]
+    Y_pack = jnp.einsum("blq,lbc->clq", W_pack, Vinv)              # [3,L,6N]
     Yk = jnp.einsum("lab,lbc->lac", Wk, Vinv)                      # [L,2,3]
 
-    S_cc = -jnp.einsum("lnac,lmbc->namb", Yc, Wc)                  # [N,6,N,6]
-    S_ck = Uck - jnp.einsum("lnac,lbc->nab", Yc, Wk)               # [N,6,2]
+    S_cc = -jax.lax.dot_general(
+        Y_pack.reshape(3 * L, n6), W_pack.reshape(3 * L, n6),
+        (((0,), (0,)), ((), ())),
+    ).reshape(N, 6, N, 6)                                          # [N,6,N,6]
+    S_ck = Uck - jnp.einsum("clq,lbc->qb", Y_pack, Wk).reshape(N, 6, 2)
     S_kk = blk["Ukk"] - jnp.einsum("lac,lbc->ab", Yk, Wk)          # [2,2]
 
     # add the diagonal U blocks (which already encode damping, priors, and
@@ -623,7 +637,6 @@ def _solve_schur_dense(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig,
     ii = jnp.arange(N)
     S_cc = S_cc.at[ii, :, ii, :].add(blk["U"])
 
-    n6 = 6 * N
     A = jnp.zeros((n6 + 2, n6 + 2), r.dtype)
     A = A.at[:n6, :n6].set(S_cc.reshape(n6, n6))
     Sck = (S_ck * cam_w[:, :, None]).reshape(n6, 2)
