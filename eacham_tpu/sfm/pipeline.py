@@ -899,8 +899,12 @@ def _finalize(scene, excluded, opt: SfmOptions, global_cfg, i0, j0, N, log,
         # AUTO: structural repair exactly in the drift-limited regime —
         # windowed matching (long trajectories) with long-range loop/
         # ladder edges present. Exhaustive small runs have no interior
-        # drift to re-merge and skip it.
-        refine_rounds = 1 if (opt.pair_window > 0 and n_loop_edges > 0
+        # drift to re-merge and skip it. THREE rounds, measured on the
+        # N=500 orbit (r4): ATE 0.84 (1 round) -> 0.58 (3 rounds) ->
+        # 0.42 (3 rounds + global_max_iters 100); the BA cost plateaus
+        # after round 1 (101k -> 96k -> 93k) while ATE keeps falling, so
+        # cost improvement is NOT a usable early-stop signal.
+        refine_rounds = 3 if (opt.pair_window > 0 and n_loop_edges > 0
                               and fp_tbl is not None) else 0
     if opt.run_global_ba and opt.global_max_iters > 0:
         if opt.prune_outliers:

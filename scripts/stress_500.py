@@ -28,15 +28,16 @@ def main():
     ap.add_argument("--max-observers", type=int, default=12)
     ap.add_argument("--retrieval-k", type=int, default=3)
     ap.add_argument("--loop-close", type=int, default=1)
-    ap.add_argument("--global-iters", type=int, default=40)
-    ap.add_argument("--refine-rounds", type=int, default=0)
+    ap.add_argument("--global-iters", type=int, default=100)
+    ap.add_argument("--refine-rounds", type=int, default=-1,
+                    help="-1 = the library AUTO policy (repair rounds when loop edges exist)")
     ap.add_argument("--ba-every", type=int, default=1,
                     help="run the windowed local BA on every M-th "
                          "registration (SfmOptions.local_ba_every)")
     ap.add_argument("--lm-capacity", type=int, default=131072)
     ap.add_argument("--segment", type=int, default=128)
     ap.add_argument("--ba-program-iters", type=int, default=10)
-    ap.add_argument("--free-span", type=int, default=0,
+    ap.add_argument("--free-span", type=int, default=6,
                     help="freeze window-BA cams more than this many ids "
                          "from the current frame (0 = all free)")
     ap.add_argument("--cache", default="/tmp/stress500_feat.npz",
