@@ -89,10 +89,12 @@ def main():
         ransac_hyps_e=256, ransac_hyps_h=128, ransac_hyps_pnp=256,
         lm_capacity=16384, refine_max_iters=30, global_max_iters=50,
         match_chunk=32,
-        # local BA every 3rd registration: measured 7.3 -> 9.4 fps on this
-        # workload with ATE 0.048 -> 0.026 (scripts/tune_sweep.py) — skipped
-        # frames are refined by overlapping windows + interim/global BA
-        local_ba_every=3,
+        # local BA every 4th registration: r4 sweep (scripts/tune_sweep.py
+        # variants) measured 13.5 fps/ATE 0.020 at every=3 vs 18.2 fps/ATE
+        # 0.0196 at every=4 (deterministic across repeats; every=5/6 are
+        # SLOWER and less accurate) — skipped frames are refined by
+        # overlapping windows + interim/global BA
+        local_ba_every=4,
         # window-BA gauge freezing (see SfmOptions.local_ba_free_span);
         # override for A/B probes: EACHAM_FREE_SPAN=6 python bench.py
         local_ba_free_span=int(os.environ.get("EACHAM_FREE_SPAN", "0")),

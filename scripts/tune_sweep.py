@@ -39,11 +39,10 @@ def main():
     )
 
     variants = [
-        ("ba_every=1 (baseline)", base),
-        ("ba_every=2", replace(base, local_ba_every=2)),
-        ("ba_every=3", replace(base, local_ba_every=3)),
-        ("ba_every=2, iters=4", replace(base, local_ba_every=2,
-                                        local_ba_max_iters=4)),
+        ("ba_every=1", base),
+        ("ba_every=3 (r3 bench)", replace(base, local_ba_every=3)),
+        ("ba_every=4 (r4 bench)", replace(base, local_ba_every=4)),
+        ("ba_every=5", replace(base, local_ba_every=5)),
     ]
 
     for label, opts in variants:
