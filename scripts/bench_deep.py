@@ -93,6 +93,9 @@ def main():
         init_min_tri_angle_deg=1.0, min_tri_angle_deg=1.0,
         ransac_hyps_e=256, ransac_hyps_h=128, ransac_hyps_pnp=256,
         lm_capacity=16384, refine_max_iters=30, global_max_iters=50,
+        # every=3, NOT the classical bench's every=4: measured 12.2 fps/
+        # median ATE 0.054 vs 15.1 fps/0.065 — the deep path's binding
+        # target is accuracy and fps already clears the bar
         local_ba_every=3,
     )
 
