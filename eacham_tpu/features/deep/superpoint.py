@@ -33,6 +33,8 @@ import flax.linen as nn
 CELL = 8
 DESC_DIM = 256
 SCORE_THRESHOLD = 0.05    # FeatureExtractorLightglue.cpp:101
+_REFINE_OVERRIDE = {"0": False, "1": True}.get(
+    os.environ.get("EACHAM_DEEP_REFINE", ""))
 
 
 class _Backbone(nn.Module):
@@ -208,10 +210,11 @@ def extract_deep(
     # production density K=1024 refinement lowers the median e2e ATE
     # 0.104 -> 0.095; at sparse K=512 the pipeline is chaos-dominated
     # (top-k tie-breaks swing single runs 0.06..0.40) and refinement does
-    # not help. EACHAM_DEEP_REFINE=0/1 (trace-time) overrides for A/B.
-    env = os.environ.get("EACHAM_DEEP_REFINE", "")
-    if env in ("0", "1"):
-        refine = env == "1"
+    # not help. EACHAM_DEEP_REFINE=0/1 overrides for A/B — read once at
+    # import (it is not part of the jit cache key, so a mid-process flip
+    # would otherwise serve stale traces).
+    if _REFINE_OVERRIDE is not None:
+        refine = _REFINE_OVERRIDE
     if refine:
         xy_soft = xy + _soft_refine(heat_raw, xy)
         xy_int = jnp.round(xy_soft).astype(jnp.int32)
