@@ -93,3 +93,49 @@ def test_params_roundtrip(tmp_path, lg_params, rng):
     b = jax.tree_util.tree_leaves(loaded)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_image_quadratic_refine_recovers_subpixel_peak():
+    """_image_quadratic_refine must localize a known subpixel Gaussian
+    peak from its integer detection to well under quantization error
+    (the deep frontend's refine=True path, SCALING.md r4)."""
+    from eacham_tpu.features.deep.superpoint import _image_quadratic_refine
+
+    H, W = 64, 64
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    truths = [(20.3, 31.7), (40.85, 12.15), (9.5, 50.25)]
+    img = np.zeros((H, W), np.float32)
+    for cy, cx in truths:
+        img += np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * 2.0 ** 2)))
+    xy_int = jnp.asarray(
+        [[[round(cx), round(cy)] for cy, cx in truths]], jnp.int32)
+    off, ok = _image_quadratic_refine(jnp.asarray(img)[None], xy_int)
+    off = np.asarray(off[0])
+    assert np.asarray(ok[0]).all()
+    for k, (cy, cx) in enumerate(truths):
+        rx = round(cx) + off[k, 0]
+        ry = round(cy) + off[k, 1]
+        err0 = np.hypot(round(cx) - cx, round(cy) - cy)
+        err1 = np.hypot(rx - cx, ry - cy)
+        assert err1 < 0.15 and err1 < err0, (k, err0, err1)
+
+
+def test_extract_deep_refine_integer_vs_subpixel(sp_params, rng):
+    """refine=False returns integer peaks; refine=True moves a healthy
+    fraction off-integer while keeping every coordinate in-frame."""
+    from eacham_tpu.features.deep import superpoint as sp
+
+    B, H, W = 2, 64, 64
+    images = jnp.asarray(rng.random((B, H, W)).astype(np.float32))
+    xy0, _, _, m0 = sp.extract_deep(
+        sp_params, images, max_keypoints=64, score_threshold=0.0,
+        refine=False)
+    xy1, _, _, m1 = sp.extract_deep(
+        sp_params, images, max_keypoints=64, score_threshold=0.0,
+        refine=True)
+    a = np.asarray(xy0)[np.asarray(m0)]
+    assert np.abs(a - np.rint(a)).max() < 1e-6
+    b = np.asarray(xy1)[np.asarray(m1)]
+    frac = (np.abs(b - np.rint(b)) > 1e-3).any(-1).mean()
+    assert frac > 0.2, frac
+    assert (b[:, 0] >= -1) .all() and (b[:, 0] < W + 1).all()
