@@ -25,10 +25,11 @@ def main():
     ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--window", type=int, default=10)
     ap.add_argument("--kps", type=int, default=1024)
-    ap.add_argument("--threshold", type=float, default=0.1)
+    ap.add_argument("--threshold", type=float, default=0.15,
+                    help="production operating point: median ATE 0.047 over 7 worlds (max 0.085) vs 0.10 median at t=0.1 (SCALING.md r4)")
     ap.add_argument("--adaptive", action="store_true",
                     help="adaptive-depth early exit (scan matcher only)")
-    ap.add_argument("--scenes", type=int, default=3,
+    ap.add_argument("--scenes", type=int, default=5,
                     help="worlds for the median-ATE claim")
     ap.add_argument("--no-gate", action="store_true",
                     help="report without asserting the ATE<0.1 gate")
