@@ -471,22 +471,62 @@ def train_lightglue_scan_sp(sp_params, steps=300, batch=8, lr=2e-4,
 # LightGlue training on SuperPoint outputs (domain-matched)
 # --------------------------------------------------------------------------
 
-def sample_image_pair(rng, width=160, height=120, n_blobs=70, textured=True):
+def _orbit_pose(a, center, orbit_r):
+    """One inward-looking camera on the stress-orbit shell (keep the
+    geometry in sync with scripts/stress_500.py / pgo_replay.orbit_gt)."""
+    cam = center + orbit_r * np.array(
+        [np.sin(a), 0.025 * np.sin(5 * a), -np.cos(a)], np.float32)
+    fwd = center - cam
+    fwd /= np.linalg.norm(fwd)
+    right = np.cross([0.0, 1.0, 0.0], fwd)
+    right /= np.linalg.norm(right)
+    up = np.cross(fwd, right)
+    R = np.stack([right, up, fwd]).astype(np.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R
+    T[:3, 3] = -R @ cam
+    return T
+
+
+def sample_image_pair(rng, width=160, height=120, n_blobs=70, textured=True,
+                      world="blob"):
     """Two augmented renders of one scene + the scene/pose GT needed to
-    label detected-keypoint correspondences."""
+    label detected-keypoint correspondences.
+
+    ``world``: "blob" = the volumetric textured-blob field (near-identity
+    pose pairs); "surface" = the textured-SURFACE sphere viewed from the
+    production orbit shell at window-scale angular offsets — the domain
+    the robustness matrix and long-trajectory stress runs exercise, on
+    which the blob-only r4 matcher collapsed (SCALING.md r4: 120 vs the
+    classical 830 verified matches/pair).
+    """
     f = 1.2 * max(width, height)
     intr = np.array([f, f, width / 2, height / 2], np.float32)
-    scene = make_blob_scene(rng, n_blobs=n_blobs, depth=(3.0, 7.0), spread=1.3)
 
-    def rand_pose():
-        T = np.eye(4, dtype=np.float32)
-        a = rng.uniform(-0.08, 0.08)
-        c, s = np.cos(a), np.sin(a)
-        T[:3, :3] = np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]], np.float32)
-        T[:3, 3] = rng.uniform(-0.3, 0.3, 3).astype(np.float32)
-        return T
+    if world == "surface":
+        from eacham_tpu.utils.synthetic import make_surface_scene
 
-    T0, T1 = rand_pose(), rand_pose()
+        scene = make_surface_scene(rng, n_blobs=max(n_blobs, 1500))
+        center = np.array([0.0, 0.0, 9.0], np.float32)
+        a0 = rng.uniform(0, 2 * np.pi)
+        # production window spans ~0.75-8 deg of orbit between paired views
+        da = np.deg2rad(rng.uniform(0.75, 8.0)) * rng.choice([-1.0, 1.0])
+        T0 = _orbit_pose(a0, center, 14.0)
+        T1 = _orbit_pose(a0 + da, center, 14.0)
+    else:
+        scene = make_blob_scene(
+            rng, n_blobs=n_blobs, depth=(3.0, 7.0), spread=1.3)
+
+        def rand_pose():
+            T = np.eye(4, dtype=np.float32)
+            a = rng.uniform(-0.08, 0.08)
+            c, s = np.cos(a), np.sin(a)
+            T[:3, :3] = np.array(
+                [[c, 0, -s], [0, 1, 0], [s, 0, c]], np.float32)
+            T[:3, 3] = rng.uniform(-0.3, 0.3, 3).astype(np.float32)
+            return T
+
+        T0, T1 = rand_pose(), rand_pose()
     bg0 = make_texture(rng, height, width) if textured else None
     bg1 = make_texture(rng, height, width) if textured else None
     img0 = render_view(scene, T0, intr, width, height, background=bg0)
@@ -529,13 +569,21 @@ def _label_correspondence(xy0, m0, xy1, m1, scene, T0, T1, intr, tol=3.0):
 
 
 def make_sp_batch(sp_params, rng, batch=8, width=160, height=120,
-                  n_blobs=70, max_kps=64, textured=True):
+                  n_blobs=70, max_kps=64, textured=True, world="blob"):
     """A LightGlue training batch whose keypoints/descriptors come from the
     ACTUAL SuperPoint forward pass — the domain the matcher sees in
-    production (closing the random-descriptor gap of train_lightglue)."""
+    production (closing the random-descriptor gap of train_lightglue).
+    ``world="mix"`` draws each pair 50/50 from the blob and surface
+    domains (see sample_image_pair)."""
     from eacham_tpu.features.deep.frontend import extract_deep_batch
 
-    pairs = [sample_image_pair(rng, width, height, n_blobs, textured)
+    def pick_world():
+        if world == "mix":
+            return "surface" if rng.random() < 0.5 else "blob"
+        return world
+
+    pairs = [sample_image_pair(rng, width, height, n_blobs, textured,
+                               world=pick_world())
              for _ in range(batch)]
     imgs = np.stack([p[0] for p in pairs] + [p[1] for p in pairs])
     xy, desc, score, mask = extract_deep_batch(
@@ -559,7 +607,7 @@ def make_sp_batch(sp_params, rng, batch=8, width=160, height=120,
 
 def train_lightglue_sp(sp_params, steps=300, batch=8, lr=2e-4, n_layers=3,
                        seed=0, params=None, n_kps=64, log_every=25,
-                       width=160, height=120, log=print):
+                       width=160, height=120, log=print, world="blob"):
     """Train (or fine-tune) the matcher on SuperPoint-extracted features
     from rendered pairs. Pass ``params`` (e.g. the random-descriptor
     pretrain) to fine-tune; None trains from scratch."""
@@ -607,7 +655,7 @@ def train_lightglue_sp(sp_params, steps=300, batch=8, lr=2e-4, n_layers=3,
     for i in range(steps):
         kp0, d0, m0, kp1, d1, m1, gt = make_sp_batch(
             sp_params, rng, batch=batch, width=width, height=height,
-            max_kps=n_kps)
+            max_kps=n_kps, world=world)
         params, opt_state, l, aux = step(
             params, opt_state, jnp.asarray(kp0), jnp.asarray(d0),
             jnp.asarray(m0), jnp.asarray(kp1), jnp.asarray(d1),

@@ -21,7 +21,8 @@ ROOT = Path(__file__).resolve().parent.parent
 WEIGHTS = ROOT / "weights"
 
 
-def evaluate(sp_params, lg_params, n_layers, n_pairs=24, max_kps=64, seed=99):
+def evaluate(sp_params, lg_params, n_layers, n_pairs=24, max_kps=64, seed=99,
+             world="blob", threshold=0.15):
     """Precision/recall of thresholded matches against GT labels on fresh
     SuperPoint batches."""
     import jax.numpy as jnp
@@ -32,11 +33,11 @@ def evaluate(sp_params, lg_params, n_layers, n_pairs=24, max_kps=64, seed=99):
     tp = fp = fn = 0
     for _ in range(n_pairs // 8):
         kp0, d0, m0, kp1, d1, m1, gt = make_sp_batch(
-            sp_params, rng, batch=8, max_kps=max_kps)
+            sp_params, rng, batch=8, max_kps=max_kps, world=world)
         idx, valid, score = lg.match_deep(
             lg_params, jnp.asarray(kp0), jnp.asarray(d0), jnp.asarray(m0),
             jnp.asarray(kp1), jnp.asarray(d1), jnp.asarray(m1),
-            n_layers=n_layers)
+            n_layers=n_layers, threshold=threshold)
         idx, valid = np.asarray(idx), np.asarray(valid)
         correct = (idx == gt) & (gt >= 0)
         tp += int((valid & correct).sum())
@@ -54,6 +55,10 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--kps", type=int, default=64)
     ap.add_argument("--from-scratch", action="store_true")
+    ap.add_argument("--world", default="blob",
+                    choices=["blob", "surface", "mix"])
+    ap.add_argument("--out", default=None,
+                    help="save to this path unconditionally (skips the F1 gate)")
     ap.add_argument("--save", action="store_true",
                     help="overwrite weights/lightglue.npz when improved")
     args = ap.parse_args()
@@ -86,19 +91,29 @@ def main():
 
     if lg_params is not None:
         p0, r0 = evaluate(sp_params, lg_params, n_layers, max_kps=args.kps)
-        print(f"before: precision {p0:.3f} recall {r0:.3f}", flush=True)
+        ps0, rs0 = evaluate(sp_params, lg_params, n_layers,
+                            max_kps=args.kps, world="surface")
+        print(f"before: blob precision {p0:.3f} recall {r0:.3f} | "
+              f"surface precision {ps0:.3f} recall {rs0:.3f}", flush=True)
     else:
         p0 = r0 = 0.0
 
     t0 = time.perf_counter()
     params, losses = train_lightglue_sp(
         sp_params, steps=args.steps, batch=args.batch, lr=args.lr,
-        n_layers=n_layers, params=lg_params, n_kps=args.kps)
+        n_layers=n_layers, params=lg_params, n_kps=args.kps,
+        world=args.world)
     print(f"trained {args.steps} steps in {time.perf_counter() - t0:.0f}s, "
           f"final loss {np.mean(losses[-20:]):.4f}", flush=True)
 
     p1, r1 = evaluate(sp_params, params, n_layers, max_kps=args.kps)
-    print(f"after:  precision {p1:.3f} recall {r1:.3f}")
+    ps1, rs1 = evaluate(sp_params, params, n_layers,
+                        max_kps=args.kps, world="surface")
+    print(f"after:  blob precision {p1:.3f} recall {r1:.3f} | "
+          f"surface precision {ps1:.3f} recall {rs1:.3f}")
+    if args.out:
+        lg.save_params(Path(args.out), params)
+        print(f"saved {args.out}")
 
     f1_0 = 2 * p0 * r0 / max(p0 + r0, 1e-9)
     f1_1 = 2 * p1 * r1 / max(p1 + r1, 1e-9)
