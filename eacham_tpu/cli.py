@@ -45,11 +45,18 @@ def run(config_path: str, max_keypoints: int = 1024, verbose: bool = True,
     w0, h0 = (int(v) for v in batch.sizes[0])
     opts = cfg.to_options(max_keypoints=max_keypoints, n_devices=n_devices)
 
-    match_tables = None
+    deep_params = None
     if frontend == "deep":
-        match_tables, (xy, desc, score, mask) = _deep_frontend(
-            batch, max_keypoints, weights_dir, verbose, opts, (w0, h0),
-            match_threshold)
+        from eacham_tpu.features.deep.frontend import (
+            extract_deep_batch, load_frontend_params,
+        )
+
+        deep_params = load_frontend_params(weights_dir)
+        sp_params = deep_params[0]
+        with BlockTimer("Extract(deep)", verbose=verbose):
+            xy, desc, score, mask = extract_deep_batch(
+                sp_params, jnp.asarray(batch.images),
+                max_keypoints=max_keypoints)
     else:
         with BlockTimer("Extract", verbose=verbose):  # HOT LOOP 1 (main.cpp:72-79)
             xy, desc, score, mask = extract_features(
@@ -60,7 +67,11 @@ def run(config_path: str, max_keypoints: int = 1024, verbose: bool = True,
     mask = mask & _in_frame_mask(xy, batch.sizes)
     if distortion is not None and any(float(d) != 0.0 for d in distortion):
         # undistort-on-ingest (ICamera.h:30-44 carries distortion that the
-        # reference never applies): downstream stays pinhole-exact
+        # reference never applies): downstream stays pinhole-exact. This
+        # happens BEFORE deep match tables are built so the epipolar
+        # verification and SfM see the same (pinhole) coordinates
+        # (ADVICE r4), and the in-frame mask is re-applied because
+        # undistortion can push edge keypoints outside the frame.
         from eacham_tpu.geometry.camera import (
             intrinsics_from_image_size, undistort_keypoints,
         )
@@ -68,9 +79,15 @@ def run(config_path: str, max_keypoints: int = 1024, verbose: bool = True,
         xy = undistort_keypoints(
             xy, intrinsics_from_image_size(w0, h0),
             jnp.asarray(list(distortion), jnp.float32))
+        mask = mask & _in_frame_mask(xy, batch.sizes)
         if verbose:
             print(f"undistorted keypoints with [k1 k2 p1 p2 k3] = "
                   f"{list(distortion)}")
+    match_tables = None
+    if frontend == "deep":
+        match_tables = _deep_match_tables(
+            deep_params, (xy, desc, score, mask), verbose, opts, (w0, h0),
+            match_threshold)
     with BlockTimer("SfM", verbose=verbose):       # match + loop + BA
         scene, stats = run_sfm(
             xy, desc, mask,
@@ -123,25 +140,18 @@ def _in_frame_mask(xy, sizes):
     return jnp.all((xy >= 0) & (xy < wh), axis=-1)
 
 
-def _deep_frontend(batch, max_keypoints, weights_dir, verbose, opts,
-                   image_size, match_threshold=0.5):
-    """SuperPoint extraction + LightGlue matching over the SAME candidate
-    -pair graph policy as the classical path (window + ladder + retrieval
-    + epipolar verification) — `--frontend deep` scales wherever the
-    classical frontend does."""
+def _deep_match_tables(deep_params, feats, verbose, opts,
+                       image_size, match_threshold=0.5):
+    """LightGlue matching over the SAME candidate-pair graph policy as the
+    classical path (window + ladder + retrieval + epipolar verification) —
+    `--frontend deep` scales wherever the classical frontend does. Takes
+    already-extracted (and already-undistorted, when a lens model is
+    given) features."""
     import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from eacham_tpu.features.deep.frontend import (
-        build_match_tables_deep, extract_deep_batch, load_frontend_params,
-    )
+    from eacham_tpu.features.deep.frontend import build_match_tables_deep
     from eacham_tpu.utils.timer import BlockTimer
 
-    sp_params, lg_params, n_layers = load_frontend_params(weights_dir)
-
-    with BlockTimer("Extract(deep)", verbose=verbose):
-        feats = extract_deep_batch(
-            sp_params, jnp.asarray(batch.images), max_keypoints=max_keypoints)
+    _, lg_params, n_layers = deep_params
     xy, desc, score, mask = feats
     with BlockTimer("Match(deep)", verbose=verbose):
         from eacham_tpu.geometry.camera import intrinsics_from_image_size
@@ -158,7 +168,7 @@ def _deep_frontend(batch, max_keypoints, weights_dir, verbose, opts,
             retrieval_k=opts.pair_retrieval_k, ladder=opts.pair_ladder,
             verify=verify, threshold=match_threshold,
         )
-    return tables, feats
+    return tables
 
 
 def main(argv=None):

@@ -13,7 +13,6 @@ consumes — so ``run_sfm`` runs unchanged on either frontend.
 
 from __future__ import annotations
 
-import os
 from functools import partial
 from pathlib import Path
 
@@ -25,26 +24,18 @@ from eacham_tpu.features.deep import lightglue as lg
 from eacham_tpu.features.deep import superpoint as sp
 
 
-def load_frontend_params(weights_dir=None, key=None, prefer=None):
+def load_frontend_params(weights_dir=None, key=None):
     """Load the shipped (or ``weights_dir``-supplied) deep-frontend weights.
 
     Returns ``(sp_params, lg_params, n_layers)``; falls back to random
     initialization for any missing .npz so examples/tests run without
     trained checkpoints. ``n_layers`` comes from the .meta file.
 
-    ``prefer`` ("legacy" | "scan", default from ``EACHAM_DEEP_MATCHER``
-    env, else "legacy"): which matcher checkpoint to load. The legacy
-    3-layer checkpoint is the measured-best e2e operating point (N=100
-    bench_deep); ``scan`` selects the reference-capacity stacked-[L,...]
-    weights (``lightglue_scan.npz``, adaptive-depth capable) whose
-    finetune currently trades recall for precision (meta: recall 0.193
-    at t=0.5) and loses end-to-end. ``matcher_kind`` reports which kind
-    a params tree is.
+    (The r4 alternative "scan" checkpoint and its adaptive-depth path
+    were removed in r5 — see lightglue.py's module note.)
     """
     wdir = Path(weights_dir) if weights_dir else (
         Path(__file__).resolve().parents[3] / "weights")
-    if prefer is None:
-        prefer = os.environ.get("EACHAM_DEEP_MATCHER", "legacy")
     key = key if key is not None else jax.random.PRNGKey(0)
     sp_params = sp.init_params(key)
     if (wdir / "superpoint.npz").exists():
@@ -59,14 +50,6 @@ def load_frontend_params(weights_dir=None, key=None, prefer=None):
                     return int(line.split("=")[1])
         return default
 
-    if prefer == "scan" and (wdir / "lightglue_scan.npz").exists():
-        n_layers = _meta_layers(wdir / "lightglue_scan.meta", 6)
-        lg_params = lg.init_params_scan(key, n_layers=n_layers)
-        lg_params = jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.float32),
-            lg.load_params(wdir / "lightglue_scan.npz", lg_params))
-        return sp_params, lg_params, n_layers
-
     n_layers = _meta_layers(wdir / "lightglue.meta", 3)
     lg_params = lg.init_params(key, n_layers=n_layers)
     if (wdir / "lightglue.npz").exists():
@@ -76,27 +59,8 @@ def load_frontend_params(weights_dir=None, key=None, prefer=None):
     return sp_params, lg_params, n_layers
 
 
-def matcher_kind(lg_params) -> str:
-    """'scan' when params carry stacked GlueLayer weights, else 'legacy'."""
-    return "scan" if "layers" in lg_params.get("params", {}) else "legacy"
-
-
-def _match_fn(lg_params, adaptive: bool = False):
-    """Dispatch to the right matcher for the param structure. Returns a
-    callable with the (idx, valid, scores) contract of lg.match_deep."""
-    if matcher_kind(lg_params) == "scan":
-        if adaptive:
-            def run(params, *a, n_layers, threshold):
-                idx, valid, scores, _ = lg.match_deep_adaptive(
-                    params, *a, n_layers=n_layers, threshold=threshold)
-                return idx, valid, scores
-            return run
-        return lg.match_deep_scan
-    return lg.match_deep
-
-
 @partial(jax.jit, static_argnames=("max_keypoints", "n_layers", "threshold",
-                                   "score_threshold", "adaptive"))
+                                   "score_threshold"))
 def match_images_e2e(
     sp_params,
     lg_params,
@@ -105,7 +69,6 @@ def match_images_e2e(
     n_layers: int = 3,
     threshold: float = lg.MATCH_THRESHOLD,
     score_threshold: float = sp.SCORE_THRESHOLD,
-    adaptive: bool = False,
 ):
     """Fused end-to-end deep matching: two images in, matched keypoint
     pairs out, as ONE compiled program.
@@ -126,7 +89,7 @@ def match_images_e2e(
         max_keypoints=max_keypoints, score_threshold=score_threshold,
     )
     kps_n = lg.normalize_keypoints(xy, float(W), float(H))
-    idx, valid, scores = _match_fn(lg_params, adaptive)(
+    idx, valid, scores = lg.match_deep(
         lg_params, kps_n[:1], desc[:1], mask[:1],
         kps_n[1:], desc[1:], mask[1:],
         n_layers=n_layers, threshold=threshold,
@@ -157,7 +120,7 @@ def extract_deep_batch(params, images, max_keypoints: int = 512,
 
 
 @partial(jax.jit, static_argnames=("n_layers", "chunk", "min_matches",
-                                   "image_size", "threshold", "adaptive"))
+                                   "image_size", "threshold"))
 def match_all_pairs_deep(
     params,
     xy: jnp.ndarray,         # [N, K, 2] pixels
@@ -169,7 +132,6 @@ def match_all_pairs_deep(
     min_matches: int = 30,
     chunk: int = 4,
     threshold: float = lg.MATCH_THRESHOLD,
-    adaptive: bool = False,
 ):
     """Exhaustive pair matching through the attentional matcher.
 
@@ -187,12 +149,10 @@ def match_all_pairs_deep(
     )
     pair_chunks = pair_padded.reshape(-1, chunk, 2)
 
-    run = _match_fn(params, adaptive)   # param structure is static at trace
-
     def one_chunk(_, pairs):
         i = pairs[:, 0]
         j = pairs[:, 1]
-        idx, valid, _ = run(
+        idx, valid, _ = lg.match_deep(
             params, kps_n[i], desc[i], kp_mask[i],
             kps_n[j], desc[j], kp_mask[j], n_layers=n_layers,
             threshold=threshold,
@@ -220,7 +180,6 @@ def build_match_tables_deep(
     ladder: bool = True,
     verify: tuple | None = None,   # (intr, key, px_thr, n_hyp)
     threshold: float = lg.MATCH_THRESHOLD,
-    adaptive: bool = False,
 ):
     """Production-shaped deep match graph: same candidate-pair windowing,
     size bucketing, epipolar verification, and inverse tables as the
@@ -257,7 +216,7 @@ def build_match_tables_deep(
     match_ij, valid_ij, pair_ok = match_all_pairs_deep(
         params, xy, desc, kp_mask, pair_idx, image_size,
         n_layers=n_layers, min_matches=min_matches, chunk=chunk,
-        threshold=threshold, adaptive=adaptive,
+        threshold=threshold,
     )
     pair_ok = pair_ok & (pair_idx[:, 0] < pair_idx[:, 1])
     if verify is not None:

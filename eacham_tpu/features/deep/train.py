@@ -305,169 +305,6 @@ def train_lightglue(steps=300, batch=8, lr=3e-4, n_layers=3, seed=0,
 
 
 # --------------------------------------------------------------------------
-# Scanned-layer LightGlue training (deep supervision at every layer)
-# --------------------------------------------------------------------------
-
-def _scan_loss(model, p, kp0, d0, m0, kp1, d1, m1, gt):
-    """Deep-supervised assignment loss: NLL of the GT correspondence under
-    every layer's readout (final layer weighted 2x) + matchability BCE on
-    the final layer. Per-layer supervision is what makes early-exit depths
-    meaningful (each layer's head must be a usable matcher on its own)."""
-    import jax
-    import jax.numpy as jnp
-
-    sim, mt0, mt1 = model.apply(
-        p, kp0, d0, m0, kp1, d1, m1, method="similarity_layers")
-    L = sim.shape[0]
-    logp0 = jax.nn.log_softmax(jnp.where(m1[None, :, None, :], sim, -1e9), -1)
-    logp1 = jax.nn.log_softmax(jnp.where(m0[None, :, :, None], sim, -1e9), -2)
-    matched = gt >= 0
-    tgt = jnp.maximum(gt, 0)[None, ..., None]                # [1,B,N,1]
-    tgt = jnp.broadcast_to(tgt, (L,) + gt.shape + (1,))
-    pick = lambda lp: jnp.take_along_axis(lp, tgt, 3)[..., 0]   # [L,B,N]
-    nll = -(pick(logp0) + pick(logp1))                       # [L,B,N]
-    w = jnp.ones((L,)).at[-1].set(2.0)
-    w = w / w.sum()
-    pos = (nll * matched[None]).sum(axis=(1, 2)) / jnp.maximum(
-        matched.sum(), 1)
-    pos = (pos * w).sum()
-    eps = 1e-7
-    bce = -jnp.where(
-        matched[None], jnp.log(mt0 + eps),
-        jnp.where(m0[None], jnp.log(1 - mt0 + eps), 0.0)
-    ).sum(axis=(1, 2)) / jnp.maximum(m0.sum(), 1)
-    bce = (bce * w).sum()
-    return pos + 0.5 * bce, (pos, bce)
-
-
-def train_lightglue_scan(steps=300, batch=8, lr=3e-4, n_layers=6, seed=0,
-                         params=None, log_every=50, noise=0.5,
-                         outlier_frac=0.3, n_kps=64, log=print):
-    """Random-descriptor pretrain of the scanned matcher (same synthetic
-    correspondence curriculum as train_lightglue, deep-supervised)."""
-    from eacham_tpu.features.deep.lightglue import (
-        LightGlueScan, init_params_scan,
-    )
-
-    rng = np.random.default_rng(seed)
-    key = jax.random.PRNGKey(seed)
-    if params is None:
-        params = init_params_scan(key, n_layers=n_layers, n_kps=n_kps)
-    model = LightGlueScan(n_layers=n_layers)
-    warmup = min(max(50, steps // 20), max(steps // 2, 1))
-    sched = optax.warmup_cosine_decay_schedule(
-        0.0, lr, warmup_steps=warmup, decay_steps=max(steps, warmup + 1))
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
-    opt_state = tx.init(params)
-
-    gen = _make_random_desc_gen(batch, n_kps)
-
-    @jax.jit
-    def step(params, opt_state, kp0, d0, kp1, d1, gt):
-        mask = jnp.ones(kp0.shape[:2], bool)
-
-        def loss_fn(p):
-            return _scan_loss(model, p, kp0, d0, mask, kp1, d1, mask, gt)
-
-        (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(g, opt_state)
-        return optax.apply_updates(params, updates), opt_state, l, aux
-
-    losses = []
-    warm = max(1, steps // 3)
-    for i in range(steps):
-        ramp = min(1.0, max(0.0, (i - warm) / max(1, steps - 2 * warm)))
-        kp0, d0, kp1, d1, gt = gen(rng, 0.1 + ramp * (noise - 0.1),
-                                   ramp * outlier_frac)
-        params, opt_state, l, aux = step(
-            params, opt_state, jnp.asarray(kp0), jnp.asarray(d0),
-            jnp.asarray(kp1), jnp.asarray(d1), jnp.asarray(gt))
-        losses.append(float(l))
-        if log_every and i % log_every == 0:
-            log(f"[lg-scan] step {i}: loss {float(l):.4f} "
-                f"(nll {float(aux[0]):.3f} bce {float(aux[1]):.3f})")
-    return params, losses
-
-
-def _make_random_desc_gen(batch, n_kps):
-    """The train_lightglue data generator, reusable across trainers."""
-    def gen(rng, cur_noise, cur_outliers):
-        B, N = batch, n_kps
-        kp0 = rng.uniform(-1, 1, (B, N, 2)).astype(np.float32)
-        A = np.eye(2) + rng.normal(scale=0.05, size=(B, 1, 2, 2))
-        t = rng.normal(scale=0.2, size=(B, 1, 2))
-        kp1 = np.einsum("bnij,bnj->bni",
-                        np.broadcast_to(A, (B, N, 2, 2)), kp0) + t
-        kp1 += rng.normal(scale=0.01, size=kp1.shape)
-        d = rng.normal(size=(B, N, 256)).astype(np.float32)
-        d /= np.linalg.norm(d, axis=-1, keepdims=True)
-        nscale = cur_noise / np.sqrt(d.shape[-1])
-        d0 = d + nscale * rng.normal(size=d.shape).astype(np.float32)
-        d1 = d + nscale * rng.normal(size=d.shape).astype(np.float32)
-        outlier = rng.random((B, N)) < cur_outliers
-        d_out = rng.normal(size=(B, N, 256)).astype(np.float32)
-        d1 = np.where(outlier[..., None], d_out, d1)
-        d0 /= np.linalg.norm(d0, axis=-1, keepdims=True)
-        d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
-        perm = np.stack([rng.permutation(N) for _ in range(B)])
-        kp1 = np.take_along_axis(kp1, perm[..., None], 1)
-        d1 = np.take_along_axis(d1, perm[..., None], 1)
-        inv = np.argsort(perm, axis=1)
-        gt = np.where(outlier, -1, inv)
-        return (kp0.astype(np.float32), d0, kp1.astype(np.float32), d1,
-                gt.astype(np.int32))
-    return gen
-
-
-def train_lightglue_scan_sp(sp_params, steps=300, batch=8, lr=2e-4,
-                            n_layers=6, seed=0, params=None, n_kps=128,
-                            log_every=25, width=224, height=168, n_blobs=110,
-                            log=print):
-    """Fine-tune the scanned matcher on SuperPoint outputs at production-
-    scale keypoint counts (VERDICT r3 #3: 'train >=6 layers at production
-    K'). Larger renders + more blobs keep keypoint density realistic."""
-    from eacham_tpu.features.deep.lightglue import (
-        LightGlueScan, init_params_scan,
-    )
-
-    rng = np.random.default_rng(seed)
-    key = jax.random.PRNGKey(seed)
-    if params is None:
-        params = init_params_scan(key, n_layers=n_layers, n_kps=n_kps)
-    model = LightGlueScan(n_layers=n_layers)
-    warmup = min(max(20, steps // 20), max(steps // 2, 1))
-    sched = optax.warmup_cosine_decay_schedule(
-        0.0, lr, warmup_steps=warmup,
-        decay_steps=max(steps, warmup + 1), end_value=lr * 0.2)
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
-    opt_state = tx.init(params)
-
-    @jax.jit
-    def step(params, opt_state, kp0, d0, m0, kp1, d1, m1, gt):
-        def loss_fn(p):
-            return _scan_loss(model, p, kp0, d0, m0, kp1, d1, m1, gt)
-
-        (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(g, opt_state)
-        return optax.apply_updates(params, updates), opt_state, l, aux
-
-    losses = []
-    for i in range(steps):
-        kp0, d0, m0, kp1, d1, m1, gt = make_sp_batch(
-            sp_params, rng, batch=batch, width=width, height=height,
-            n_blobs=n_blobs, max_kps=n_kps)
-        params, opt_state, l, aux = step(
-            params, opt_state, jnp.asarray(kp0), jnp.asarray(d0),
-            jnp.asarray(m0), jnp.asarray(kp1), jnp.asarray(d1),
-            jnp.asarray(m1), jnp.asarray(gt))
-        losses.append(float(l))
-        if log_every and i % log_every == 0:
-            log(f"[lg-scan-sp] step {i}: loss {float(l):.4f} "
-                f"(nll {float(aux[0]):.3f} bce {float(aux[1]):.3f})")
-    return params, losses
-
-
-# --------------------------------------------------------------------------
 # LightGlue training on SuperPoint outputs (domain-matched)
 # --------------------------------------------------------------------------
 

@@ -35,9 +35,16 @@ def init_distributed(
     # process and the late initialize() is then ignored (measured: the
     # two-process rehearsal saw process_count()==1 exactly because this
     # function previously probed process_count() first).
-    from jax._src import distributed as _dist
+    try:
+        from jax._src import distributed as _dist
 
-    if getattr(_dist.global_state, "client", None) is not None:
+        already = getattr(_dist.global_state, "client", None) is not None
+    except ImportError:
+        # private module moved (jax upgrade): fall back to the public
+        # probe when available, else assume not-yet-initialized and let
+        # the initialize() call below raise/no-op as appropriate
+        already = bool(getattr(jax.distributed, "is_initialized", bool)())
+    if already:
         return jax.process_count() > 1
     import os
     coord = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")

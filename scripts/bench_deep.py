@@ -27,14 +27,12 @@ def main():
     ap.add_argument("--kps", type=int, default=1024)
     ap.add_argument("--threshold", type=float, default=0.15,
                     help="production operating point: median ATE 0.047 over 7 worlds (max 0.085) vs 0.10 median at t=0.1 (SCALING.md r4)")
-    ap.add_argument("--adaptive", action="store_true",
-                    help="adaptive-depth early exit (scan matcher only)")
     ap.add_argument("--scenes", type=int, default=5,
                     help="worlds for the median-ATE claim")
+    ap.add_argument("--weights", default=None,
+                    help="alternate weights dir (default: repo weights/)")
     ap.add_argument("--no-gate", action="store_true",
                     help="report without asserting the ATE<0.1 gate")
-    ap.add_argument("--matcher", choices=["auto", "legacy"], default="legacy",
-                    help="legacy (default) = the 3-layer checkpoint, the measured-best e2e operating point (ATE 0.064 vs scan6 0.113 at N=100); auto = prefer scan weights (adaptive-depth showcase)")
     args = ap.parse_args()
 
     from eacham_tpu.utils.cache import enable_compilation_cache
@@ -66,28 +64,12 @@ def main():
     print(f"# rendered {N} frames in {time.perf_counter() - t0:.1f}s",
           flush=True)
 
-    from eacham_tpu.features.deep.frontend import (
-        load_frontend_params, matcher_kind,
-    )
+    from eacham_tpu.features.deep.frontend import load_frontend_params
 
-    if args.matcher == "legacy":
-        key = jax.random.PRNGKey(0)
-        sp_params = jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.float32),
-            lg.load_params(ROOT / "weights" / "superpoint.npz",
-                           sp.init_params(key)))
-        meta = (ROOT / "weights" / "lightglue.meta").read_text()
-        n_layers = int([l for l in meta.splitlines()
-                        if l.startswith("n_layers")][0].split("=")[1])
-        lg_params = jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.float32),
-            lg.load_params(ROOT / "weights" / "lightglue.npz",
-                           lg.init_params(key, n_layers=n_layers)))
-    else:
-        sp_params, lg_params, n_layers = load_frontend_params(prefer="scan")
-    print(f"# matcher: {matcher_kind(lg_params)} x{n_layers} "
-          f"(threshold {args.threshold}"
-          f"{', adaptive' if args.adaptive else ''})", flush=True)
+    sp_params, lg_params, n_layers = load_frontend_params(
+        weights_dir=args.weights)
+    print(f"# matcher: {n_layers}-layer (threshold {args.threshold})",
+          flush=True)
 
     opts = SfmOptions(
         min_initial_inliers=60, min_matches=20, match_ratio=0.85,
@@ -111,7 +93,6 @@ def main():
             lg_params, xy, desc, mask, (W, H), n_layers=n_layers,
             min_matches=opts.min_matches, pair_window=args.window,
             retrieval_k=3, threshold=args.threshold,
-            adaptive=args.adaptive,
             verify=(intrinsics_from_image_size(W, H),
                     jax.random.PRNGKey(7), opts.max_repr_error,
                     opts.verify_hyps))
