@@ -64,6 +64,14 @@ class BAProblem(NamedTuple):
     cam_fixed: jnp.ndarray   # [N] bool — gauge-fixed cameras (zero update)
     pt_in_ba: jnp.ndarray    # [L] bool — landmarks being optimized
     pt_obs_count: jnp.ndarray  # [L] float — total observers (for the prior)
+    # Optional ABSOLUTE pose references (GPS priors / surveyed cameras):
+    # tight se(3) anchors to externally-known poses, the measurement class
+    # that removes the low-frequency drift modes living in the near-
+    # nullspace of all relative measurements (SCALING.md r4 observability
+    # analysis). None = no absolute references (the reference-parity
+    # default; the reference has none either).
+    abs_pose: jnp.ndarray | None = None   # [N, 4, 4] world->cam anchors
+    abs_mask: jnp.ndarray | None = None   # [N] bool — which cams anchored
 
 
 class BAConfig(NamedTuple):
@@ -100,6 +108,10 @@ class BAConfig(NamedTuple):
     # (OptimizerConfig::method, BundleAdjuster.cpp:182-214)
     method: str = "lm"
     trust_radius_init: float = 1.0   # DogLeg delta (OptimizerConfig::delta)
+    # absolute-anchor noise (used only when BAProblem.abs_pose is set):
+    # ~0.6 deg / 0.01 scene units — trusted external references
+    abs_sigma_rot: float = 0.01
+    abs_sigma_pos: float = 0.01
 
 
 def _huber_sqrt_weight(r_norm: jnp.ndarray, k: float) -> jnp.ndarray:
@@ -225,7 +237,25 @@ def _prior_terms(poses, points, intr, p: BAProblem, anchors, cfg: BAConfig):
 
     r_k = (intr[:2] - intr0[:2]) / K_SIGMA
     j_k = jnp.full((2,), 1.0 / K_SIGMA, dtype=intr.dtype)
-    return (r_pose, j_pose), (r_pt, j_pt), (r_k, j_k)
+
+    # absolute pose anchors (GPS/surveyed-camera references): tight,
+    # un-Huberized se(3) priors to externally-known poses on the masked
+    # cameras. No robustifier — an absolute reference is trusted by
+    # construction; robustness to bad anchors is the caller's policy.
+    if p.abs_pose is not None:
+        sig_abs = jnp.concatenate(
+            [jnp.full((3,), cfg.abs_sigma_rot),
+             jnp.full((3,), cfg.abs_sigma_pos)]
+        ).astype(poses.dtype)
+        r_abs = log_se3(poses @ jnp.linalg.inv(p.abs_pose)) / sig_abs
+        abs_on = p.abs_mask & p.cam_in_ba & (~p.cam_fixed)
+        w_abs = abs_on.astype(poses.dtype)
+        r_abs = r_abs * w_abs[:, None]
+        j_abs = w_abs[:, None] / sig_abs              # diag Jacobian [N, 6]
+    else:
+        r_abs = jnp.zeros_like(r_pose)
+        j_abs = jnp.zeros_like(j_pose)
+    return (r_pose, j_pose), (r_pt, j_pt), (r_k, j_k), (r_abs, j_abs)
 
 
 def _reduce(x, axis_name):
@@ -310,7 +340,7 @@ def ba_cost(poses, points, intr, p: BAProblem, anchors=None, cfg: BAConfig = BAC
     cost = _reduce(jnp.sum(jnp.where(good, rho, 0.0)), axis_name)
 
     if anchors is not None:
-        (r_pose, _), (r_pt, _), (r_k, _) = _prior_terms(
+        (r_pose, _), (r_pt, _), (r_k, _), (r_abs, _) = _prior_terms(
             poses, points, intr, p, anchors, cfg
         )
 
@@ -321,6 +351,7 @@ def ba_cost(poses, points, intr, p: BAProblem, anchors=None, cfg: BAConfig = BAC
         cost = cost + jnp.sum(rho_of(r_pose, POSE_HUBER))
         cost = cost + 0.5 * jnp.sum(r_pt * r_pt)
         cost = cost + 0.5 * jnp.sum(r_k * r_k)
+        cost = cost + 0.5 * jnp.sum(r_abs * r_abs)
     return cost
 
 
@@ -329,7 +360,7 @@ def _blocks(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig,
     """Shared linearized-system blocks for both Schur solvers."""
     N = p.poses.shape[0]
     L = p.points.shape[0]
-    (r_pose, j_pose), (r_pt, j_pt), (r_k, j_k) = priors
+    (r_pose, j_pose), (r_pt, j_pt), (r_k, j_k), (r_abs, j_abs) = priors
 
     cam_upd = p.cam_in_ba & (~p.cam_fixed)    # cameras that receive updates
     cam_w = cam_upd[:, None].astype(r.dtype)  # [N, 1]
@@ -346,7 +377,7 @@ def _blocks(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig,
     V_obs = _seg_outer(Jp, Jp, p.obs_pt, L, axis_name)              # [L,3,3]
     Ukk_obs = _reduce(jnp.einsum("oki,okj->ij", Jk, Jk), axis_name)  # [2,2]
 
-    U = U_obs + jax.vmap(jnp.diag)(j_pose * j_pose)
+    U = U_obs + jax.vmap(jnp.diag)(j_pose * j_pose + j_abs * j_abs)
     V = V_obs + jax.vmap(jnp.diag)(j_pt * j_pt)
     Ukk = Ukk_obs + jnp.diag(j_k * j_k)
 
@@ -376,7 +407,7 @@ def _blocks(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig,
     Vinv = inv3x3(V)                                                # [L,3,3]
 
     # --- gradients ----------------------------------------------------------
-    b_c = -_seg_vec(Jc, r, p.obs_cam, N, axis_name) - r_pose * j_pose
+    b_c = -_seg_vec(Jc, r, p.obs_cam, N, axis_name) - r_pose * j_pose - r_abs * j_abs
     b_p = -_seg_vec(Jp, r, p.obs_pt, L, axis_name) - r_pt * j_pt
     b_k = -_reduce(jnp.einsum("oki,ok->i", Jk, r), axis_name) - r_k * j_k
     b_c = b_c * cam_w
@@ -441,7 +472,7 @@ def _blocks_t(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig,
     the global/PCG path's memory-critical twin of _blocks."""
     N = p.poses.shape[0]
     L = p.points.shape[0]
-    (r_pose, j_pose), (r_pt, j_pt), (r_k, j_k) = priors
+    (r_pose, j_pose), (r_pt, j_pt), (r_k, j_k), (r_abs, j_abs) = priors
 
     cam_upd = p.cam_in_ba & (~p.cam_fixed)
     cam_w = cam_upd[:, None].astype(r.dtype)
@@ -452,7 +483,7 @@ def _blocks_t(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig,
     Ukk_obs = _reduce(jnp.sum(
         Jk[:, :, None, :] * Jk[:, None, :, :], axis=(0, 3)), axis_name)
 
-    U = U_obs + jax.vmap(jnp.diag)(j_pose * j_pose)
+    U = U_obs + jax.vmap(jnp.diag)(j_pose * j_pose + j_abs * j_abs)
     V = V_obs + jax.vmap(jnp.diag)(j_pt * j_pt)
     Ukk = Ukk_obs + jnp.diag(j_k * j_k)
 
@@ -471,7 +502,8 @@ def _blocks_t(r, Jc, Jp, Jk, priors, p: BAProblem, lam, cfg: BAConfig,
     extra_diag_k = jnp.diagonal(Ukk) - jnp.diagonal(Ukk_obs)
     Vinv = inv3x3(V)
 
-    b_c = -_seg_vec_t(Jc, r, p.obs_cam, N, axis_name) - r_pose * j_pose
+    b_c = (-_seg_vec_t(Jc, r, p.obs_cam, N, axis_name)
+           - r_pose * j_pose - r_abs * j_abs)
     b_p = -_seg_vec_t(Jp, r, p.obs_pt, L, axis_name) - r_pt * j_pt
     b_k = -_reduce(jnp.sum(Jk * r[:, None, :], axis=(0, 2)),
                    axis_name) - r_k * j_k
@@ -773,7 +805,7 @@ def _dogleg_step(r, Jc, Jp, Jk, priors, p: BAProblem, delta, cfg: BAConfig,
     Returns (d_cam, d_k, d_pt, model_decrease).
     """
     blk = _blocks(r, Jc, Jp, Jk, priors, p, 1e-8, cfg, axis_name)
-    (r_pose, j_pose), (r_pt, j_pt), (r_k, j_k) = priors
+    (r_pose, j_pose), (r_pt, j_pt), (r_k, j_k), (r_abs, j_abs) = priors
 
     # negative gradient g = b (blk already holds b = -J^T r, masked)
     g_c, g_k, g_p = blk["b_c"], blk["b_k"], blk["b_p"]
@@ -791,6 +823,7 @@ def _dogleg_step(r, Jc, Jp, Jk, priors, p: BAProblem, delta, cfg: BAConfig,
         obs = _reduce(jnp.sum(t * t), axis_name)
         pri = (
             jnp.sum((j_pose * hc) ** 2)
+            + jnp.sum((j_abs * hc) ** 2)
             + jnp.sum((j_pt * hp) ** 2)
             + jnp.sum((j_k * hk) ** 2)
         )
@@ -845,6 +878,13 @@ def refine_ba(p: BAProblem, cfg: BAConfig = BAConfig(),
     sharded over that mesh axis, the solve runs distributed (psum-reduced
     camera system); poses/points/intr must be replicated inputs.
     """
+    if p.abs_pose is not None:
+        # Absolute references replace the init-anchored weak priors: those
+        # priors regularize toward the (drifted) initialization, which is
+        # exactly the state the anchors exist to correct — measured on the
+        # gauge-warp probe (tests/test_ba.py): residual 13.6% of the warp
+        # with weak priors on, < 1e-6 with them off.
+        cfg = cfg._replace(use_pose_priors=False, use_point_priors=False)
     anchors = (p.poses, p.points, p.intr)
 
     # static solver choice: dense reduced system when W = [L, N, 6, 3] fits

@@ -405,23 +405,51 @@ def _label_correspondence(xy0, m0, xy1, m1, scene, T0, T1, intr, tol=3.0):
     return gt
 
 
-def make_sp_batch(sp_params, rng, batch=8, width=160, height=120,
-                  n_blobs=70, max_kps=64, textured=True, world="blob"):
-    """A LightGlue training batch whose keypoints/descriptors come from the
-    ACTUAL SuperPoint forward pass — the domain the matcher sees in
-    production (closing the random-descriptor gap of train_lightglue).
-    ``world="mix"`` draws each pair 50/50 from the blob and surface
-    domains (see sample_image_pair)."""
-    from eacham_tpu.features.deep.frontend import extract_deep_batch
-
+def render_pair_batch(rng, batch=8, width=160, height=120, n_blobs=70,
+                      textured=True, world="blob"):
+    """``batch`` rendered training pairs (the host-CPU half of
+    make_sp_batch — safe to run in worker processes: numpy only)."""
     def pick_world():
         if world == "mix":
             return "surface" if rng.random() < 0.5 else "blob"
         return world
 
-    pairs = [sample_image_pair(rng, width, height, n_blobs, textured,
-                               world=pick_world())
-             for _ in range(batch)]
+    return [sample_image_pair(rng, width, height, n_blobs, textured,
+                              world=pick_world())
+            for _ in range(batch)]
+
+
+def _pool_worker_init():
+    """Initializer for data-rendering worker processes: force any jax
+    import onto CPU so workers can never grab the (single) TPU the
+    training step owns."""
+    import os
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+
+def _render_pairs_task(args):
+    seed, batch, width, height, n_blobs, textured, world = args
+    rng = np.random.default_rng(seed)
+    return render_pair_batch(rng, batch, width, height, n_blobs,
+                             textured, world)
+
+
+def make_sp_batch(sp_params, rng, batch=8, width=160, height=120,
+                  n_blobs=70, max_kps=64, textured=True, world="blob",
+                  pairs=None):
+    """A LightGlue training batch whose keypoints/descriptors come from the
+    ACTUAL SuperPoint forward pass — the domain the matcher sees in
+    production (closing the random-descriptor gap of train_lightglue).
+    ``world="mix"`` draws each pair 50/50 from the blob and surface
+    domains (see sample_image_pair). ``pairs``: pre-rendered output of
+    render_pair_batch (e.g. from a worker pool) — extraction + labeling
+    still happen here."""
+    from eacham_tpu.features.deep.frontend import extract_deep_batch
+
+    if pairs is None:
+        pairs = render_pair_batch(rng, batch, width, height, n_blobs,
+                                  textured, world)
+    batch = len(pairs)
     imgs = np.stack([p[0] for p in pairs] + [p[1] for p in pairs])
     xy, desc, score, mask = extract_deep_batch(
         sp_params, jnp.asarray(imgs), max_keypoints=max_kps)
@@ -444,7 +472,8 @@ def make_sp_batch(sp_params, rng, batch=8, width=160, height=120,
 
 def train_lightglue_sp(sp_params, steps=300, batch=8, lr=2e-4, n_layers=3,
                        seed=0, params=None, n_kps=64, log_every=25,
-                       width=160, height=120, log=print, world="blob"):
+                       width=160, height=120, log=print, world="blob",
+                       workers=3):
     """Train (or fine-tune) the matcher on SuperPoint-extracted features
     from rendered pairs. Pass ``params`` (e.g. the random-descriptor
     pretrain) to fine-tune; None trains from scratch."""
@@ -488,17 +517,48 @@ def train_lightglue_sp(sp_params, steps=300, batch=8, lr=2e-4, n_layers=3,
         updates, opt_state = tx.update(g, opt_state)
         return optax.apply_updates(params, updates), opt_state, l, aux
 
+    # data pipeline: rendering is host-CPU-bound (surface worlds paint
+    # ~1500 blobs/view) while the step runs on device — a small process
+    # pool renders ahead with a BOUNDED window so memory stays flat
+    pool = None
+    pending = []
+    if workers > 0:
+        from multiprocessing import get_context
+
+        pool = get_context("spawn").Pool(workers,
+                                         initializer=_pool_worker_init)
+        task_seeds = rng.integers(2 ** 31, size=steps)
+
+        def submit(i):
+            pending.append(pool.apply_async(_render_pairs_task, (
+                (int(task_seeds[i]), batch, width, height, 70, True, world),)))
+
+        for i in range(min(2 * workers, steps)):
+            submit(i)
+
     losses = []
-    for i in range(steps):
-        kp0, d0, m0, kp1, d1, m1, gt = make_sp_batch(
-            sp_params, rng, batch=batch, width=width, height=height,
-            max_kps=n_kps, world=world)
-        params, opt_state, l, aux = step(
-            params, opt_state, jnp.asarray(kp0), jnp.asarray(d0),
-            jnp.asarray(m0), jnp.asarray(kp1), jnp.asarray(d1),
-            jnp.asarray(m1), jnp.asarray(gt))
-        losses.append(float(l))
-        if log_every and i % log_every == 0:
-            log(f"[lightglue-sp] step {i}: loss {float(l):.4f} "
-                f"(nll {float(aux[0]):.3f} bce {float(aux[1]):.3f})")
+    try:
+        for i in range(steps):
+            if pool is not None:
+                pairs = pending.pop(0).get()
+                nxt = i + 2 * workers
+                if nxt < steps:
+                    submit(nxt)
+            else:
+                pairs = None
+            kp0, d0, m0, kp1, d1, m1, gt = make_sp_batch(
+                sp_params, rng, batch=batch, width=width, height=height,
+                max_kps=n_kps, world=world, pairs=pairs)
+            params, opt_state, l, aux = step(
+                params, opt_state, jnp.asarray(kp0), jnp.asarray(d0),
+                jnp.asarray(m0), jnp.asarray(kp1), jnp.asarray(d1),
+                jnp.asarray(m1), jnp.asarray(gt))
+            losses.append(float(l))
+            if log_every and i % log_every == 0:
+                log(f"[lightglue-sp] step {i}: loss {float(l):.4f} "
+                    f"(nll {float(aux[0]):.3f} bce {float(aux[1]):.3f})")
+    finally:
+        if pool is not None:
+            pool.terminate()
+            pool.join()
     return params, losses

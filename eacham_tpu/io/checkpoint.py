@@ -21,10 +21,18 @@ _FIELDS = Scene._fields
 
 
 def save_scene(path: str | Path, scene: Scene, **extra_arrays) -> None:
+    """Atomic write (tmp + rename): a process killed mid-save — the
+    crash-resume workflow's whole point — must never leave a truncated
+    checkpoint behind."""
+    path = Path(path)
     data = {f: np.asarray(getattr(scene, f)) for f in _FIELDS}
     for k, v in extra_arrays.items():
         data[f"extra_{k}"] = np.asarray(v)
-    np.savez_compressed(path, **data)
+    tmp = path.with_name(path.name + ".tmp")
+    np.savez_compressed(tmp, **data)
+    # np.savez appends .npz to names without it
+    tmp_real = tmp if tmp.exists() else tmp.with_name(tmp.name + ".npz")
+    tmp_real.replace(path)
 
 
 def load_scene(path: str | Path) -> tuple[Scene, dict]:

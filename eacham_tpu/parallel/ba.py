@@ -53,6 +53,8 @@ def refine_ba_sharded(prob: BAProblem, cfg: BAConfig, mesh: Mesh):
             obs_cam=obs_spec, obs_pt=obs_spec, obs_uv=obs_spec,
             obs_mask=obs_spec,
             cam_in_ba=rep, cam_fixed=rep, pt_in_ba=rep, pt_obs_count=rep,
+            abs_pose=rep if prob.abs_pose is not None else None,
+            abs_mask=rep if prob.abs_mask is not None else None,
         ),
     )
     out_specs = (

@@ -117,6 +117,17 @@ class SfmOptions:
     # TBB pool (main.cpp:72,98); the local sweep stays single-device
     # (its windows are small by construction)
     n_devices: int = 1
+    # absolute-anchor prior sigmas (run_sfm(abs_anchors=...) /
+    # anchored global BA; rad, scene units)
+    abs_sigma_rot: float = 0.01
+    abs_sigma_pos: float = 0.01
+    # crash-resume: save the Scene after every M-th sweep segment (and
+    # after the pose-graph stage) to this path; a restarted process loads
+    # it with io.checkpoint.load_scene and continues via resume_sfm.
+    # The at-scale runs (4500-frame rehearsal) need this: a single hung
+    # remote program otherwise costs the whole run (r4 tunnel hang).
+    checkpoint_path: str | None = None
+    checkpoint_every: int = 1
     # behavior switches
     pnp_pair_only: bool = False
     run_global_ba: bool = True
@@ -348,7 +359,7 @@ def _bucket(n: int, cap: int, floor: int = 1024) -> int:
 
 
 def _ba(scene: Scene, cam_in_ba, cfg: BAConfig, min_landmarks: int,
-        mesh=None, program_iters: int = 0):
+        mesh=None, program_iters: int = 0, abs_anchors=None):
     """Build the BA problem, skip if too small (BundleAdjuster.cpp:166-169),
     run LM, write back. With ``mesh``, the observation axis is sharded and
     the reduced camera system is psum-assembled (parallel/ba.py).
@@ -370,6 +381,15 @@ def _ba(scene: Scene, cam_in_ba, cfg: BAConfig, min_landmarks: int,
         max_obs=_bucket(n_obs, N * K),
         max_lms=_bucket(n_lms, scene.lm_capacity),
     )
+    if abs_anchors is not None:
+        # absolute pose references (GPS priors / surveyed cameras): gather
+        # the full-scene anchor table into the windowed problem's camera
+        # list (ba/core.py _prior_terms consumes them)
+        a_pose, a_mask = abs_anchors
+        prob = prob._replace(
+            abs_pose=jnp.asarray(a_pose)[cam_list],
+            abs_mask=jnp.asarray(a_mask)[cam_list] & cam_on,
+        )
     # program_iters > 0: cap the LM iterations per DISPATCHED program and
     # loop on the host. A single XLA execution running minutes of LM at
     # KITTI scale trips the tunnel worker's per-program patience and
@@ -439,6 +459,7 @@ def run_sfm(
     options: SfmOptions = SfmOptions(),
     verbose: bool = True,
     match_tables: tuple | None = None,
+    abs_anchors: tuple | None = None,
 ):
     """Full incremental reconstruction. Returns (scene, stats dict).
 
@@ -448,6 +469,13 @@ def run_sfm(
     (match_ij [P,K], valid_ij [P,K], pair_ok [P])`` (canonical i<j pair
     order, e.g. from features.deep.frontend.match_all_pairs_deep) to plug
     in a different matcher.
+
+    ``abs_anchors = (poses [N, 4, 4] world->cam, mask [N] bool)``:
+    optional absolute pose references (GPS priors / surveyed cameras) in
+    the reconstruction frame — anchored frames get a tight se(3) prior in
+    every global/refine BA (ba/core.py), removing the low-frequency drift
+    that relative measurements cannot observe (SCALING.md observability
+    analysis). Sigmas via SfmOptions.abs_sigma_rot / abs_sigma_pos.
     """
     opt = options
     key = jax.random.PRNGKey(opt.seed)
@@ -586,6 +614,8 @@ def run_sfm(
         method=opt.global_method.lower(),
         trust_radius_init=opt.global_delta,
         solver=opt.global_solver,
+        abs_sigma_rot=opt.abs_sigma_rot,
+        abs_sigma_pos=opt.abs_sigma_pos,
     )
 
     # ---- incremental loop (HOT LOOP 3, main.cpp:195-225) -----------------------
@@ -607,6 +637,8 @@ def run_sfm(
                     log(f"interim BA: {float(info['initial_cost']):.1f} -> "
                         f"{float(info['final_cost']):.1f}")
                 return s
+
+        on_segment = _with_checkpoint(on_segment, opt, log)
 
         scene, excluded, n_reg = registration_sweep(
             scene, excluded, fp_tbl, k_sweep,
@@ -762,7 +794,8 @@ def run_sfm(
                         f"keeping {'submap-aligned' if submap_applied else 'sweep'} poses")
 
         return _finalize(scene, excluded, opt, global_cfg, i0, j0, N, log,
-                         mesh=mesh, fp_tbl=fp_tbl, n_loop_edges=n_far)
+                         mesh=mesh, fp_tbl=fp_tbl, n_loop_edges=n_far,
+                         abs_anchors=abs_anchors)
 
     n_registered = 2
     min_obs_2 = jnp.int32(2)
@@ -810,7 +843,8 @@ def run_sfm(
         )
 
     return _finalize(scene, excluded, opt, global_cfg, i0, j0, N, log,
-                     mesh=mesh, fp_tbl=fp_tbl, n_loop_edges=n_far)
+                     mesh=mesh, fp_tbl=fp_tbl, n_loop_edges=n_far,
+                     abs_anchors=abs_anchors)
 
 
 def resume_sfm(
@@ -819,6 +853,7 @@ def resume_sfm(
     excluded: jnp.ndarray | None = None,
     verbose: bool = True,
     finalize: bool = True,
+    abs_anchors: tuple | None = None,
 ):
     """Continue a reconstruction from a (possibly checkpointed) Scene.
 
@@ -858,8 +893,25 @@ def resume_sfm(
         method=opt.global_method.lower(),
         trust_radius_init=opt.global_delta,
         solver=opt.global_solver,
+        abs_sigma_rot=opt.abs_sigma_rot,
+        abs_sigma_pos=opt.abs_sigma_pos,
     )
     key = jax.random.PRNGKey(opt.seed + 1)
+    on_segment = None
+    if opt.interim_ba_iters > 0:
+        # same interim-BA cadence as run_sfm's sweep: a resumed long
+        # sweep drifts exactly like a fresh one without it
+        interim_cfg = global_cfg._replace(max_iters=opt.interim_ba_iters)
+
+        def on_segment(s):
+            s, info = _ba(s, s.pose_valid, interim_cfg,
+                          opt.min_ba_landmarks,
+                          program_iters=opt.ba_program_iters)
+            if info is not None:
+                log(f"interim BA: {float(info['initial_cost']):.1f} -> "
+                    f"{float(info['final_cost']):.1f}")
+            return s
+
     scene, excluded, n_reg = registration_sweep(
         scene, excluded, fp_tbl, key,
         opt.max_repr_error, opt.min_tri_angle,
@@ -876,6 +928,7 @@ def resume_sfm(
         ba_max_lms=opt.local_ba_max_lms,
         ba_every=opt.local_ba_every,
         segment=opt.sweep_segment,
+        on_segment=_with_checkpoint(on_segment, opt, log),
     )
     log(f"resume sweep: +{int(n_reg)} frames registered")
     if not finalize:
@@ -889,11 +942,35 @@ def resume_sfm(
     span = np.abs(np.asarray(scene.pair_idx[:, 1] - scene.pair_idx[:, 0]))
     n_far = int((np.asarray(scene.pair_ok) & (span > max(N // 4, 30))).sum())
     return _finalize(scene, excluded, opt, global_cfg, -1, -1, N, log,
-                     fp_tbl=fp_tbl, n_loop_edges=n_far)
+                     fp_tbl=fp_tbl, n_loop_edges=n_far,
+                     abs_anchors=abs_anchors)
+
+
+def _with_checkpoint(on_segment, opt: SfmOptions, log):
+    """Wrap a sweep on_segment callback with periodic Scene checkpointing
+    (SfmOptions.checkpoint_path) — the crash-resume hook the at-scale
+    rehearsal drives (scripts/kitti_rehearsal.py)."""
+    if not opt.checkpoint_path:
+        return on_segment
+    state = {"seg": 0}
+
+    def cb(s):
+        if on_segment is not None:
+            s = on_segment(s)
+        state["seg"] += 1
+        if state["seg"] % max(opt.checkpoint_every, 1) == 0:
+            from eacham_tpu.io.checkpoint import save_scene
+
+            save_scene(opt.checkpoint_path, s)
+            log(f"checkpoint: segment {state['seg']} -> "
+                f"{opt.checkpoint_path}")
+        return s
+
+    return cb
 
 
 def _finalize(scene, excluded, opt: SfmOptions, global_cfg, i0, j0, N, log,
-              mesh=None, fp_tbl=None, n_loop_edges=0):
+              mesh=None, fp_tbl=None, n_loop_edges=0, abs_anchors=None):
     """Global BA (main.cpp:227-231) + run statistics."""
     refine_rounds = opt.map_refine_rounds
     if refine_rounds < 0:
@@ -915,7 +992,8 @@ def _finalize(scene, excluded, opt: SfmOptions, global_cfg, i0, j0, N, log,
             log(f"prune: -{int(n_obs)} observations, -{int(n_lm)} landmarks")
         scene, info = _ba(scene, scene.pose_valid, global_cfg,
                           opt.min_ba_landmarks, mesh=mesh,
-                          program_iters=opt.ba_program_iters)
+                          program_iters=opt.ba_program_iters,
+                          abs_anchors=abs_anchors)
         if info is not None:
             log(
                 f"global BA: {float(info['initial_cost']):.1f} -> "
@@ -941,6 +1019,7 @@ def _finalize(scene, excluded, opt: SfmOptions, global_cfg, i0, j0, N, log,
                     scene, scene.pose_valid, global_cfg,
                     opt.min_ba_landmarks, mesh=mesh,
                     program_iters=opt.ba_program_iters,
+                    abs_anchors=abs_anchors,
                 )
                 if info2 is not None:
                     log(
@@ -969,7 +1048,8 @@ def _finalize(scene, excluded, opt: SfmOptions, global_cfg, i0, j0, N, log,
             scene, n_obs, n_lm = prune_observations(scene, opt.max_repr_error)
             scene, info3 = _ba(scene, scene.pose_valid, global_cfg,
                                opt.min_ba_landmarks, mesh=mesh,
-                               program_iters=opt.ba_program_iters)
+                               program_iters=opt.ba_program_iters,
+                               abs_anchors=abs_anchors)
             if info3 is not None:
                 log(f"map refine: rebuilt "
                     f"{int(jnp.sum(scene.lm_valid))} landmarks "

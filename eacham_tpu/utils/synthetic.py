@@ -108,37 +108,67 @@ def render_view(scene: dict, T: np.ndarray, intr, width: int, height: int,
         # descriptor (measured). Occlusion is the property of real scenes
         # that keeps local appearance stable — "over" blending restores it.
         paint = paint[np.argsort(-pc[paint, 2])]
-    for k in paint:
-        x0 = max(0, int(u[k]) - r)
-        x1 = min(width, int(u[k]) + r + 1)
-        y0 = max(0, int(v[k]) - r)
-        y1 = min(height, int(v[k]) + r + 1)
-        if x0 >= x1 or y0 >= y1:
-            continue
-        xs = np.arange(x0, x1, dtype=np.float32) - u[k]
-        ys = np.arange(y0, y1, dtype=np.float32) - v[k]
-        dx, dy = np.meshgrid(xs, ys)
-        c, s = np.cos(scene["theta"][k]), np.sin(scene["theta"][k])
-        rx = (c * dx + s * dy) / scene["sx"][k]
-        ry = (-s * dx + c * dy) / scene["sy"][k]
-        gauss = np.exp(-0.5 * (rx * rx + ry * ry))
+    # Patch math is BATCHED over all painted blobs (the per-blob Python
+    # loop dominated surface-world training-data generation: 0.35 s/pair
+    # at 1500 blobs); only the sequential composite ("over" blending is
+    # order-dependent) remains a loop, over cheap slice writes. Values are
+    # bit-identical to the per-blob formulation: each pixel's dx/dy depend
+    # only on its absolute index minus the blob center, so computing the
+    # full (2r+1)^2 window and slicing the clipped part changes nothing.
+    if len(paint):
+        P = len(paint)
+        ui = u[paint].astype(np.float32)
+        vi = v[paint].astype(np.float32)
+        x0s = np.maximum(0, ui.astype(np.int32) - r)
+        x1s = np.minimum(width, ui.astype(np.int32) + r + 1)
+        y0s = np.maximum(0, vi.astype(np.int32) - r)
+        y1s = np.minimum(height, vi.astype(np.int32) + r + 1)
+        span = np.arange(-r, r + 1, dtype=np.float32)        # [2r+1]
+        # window pixel x = int(u)+j for j in [-r, r]; dx = x - u
+        dx = (ui.astype(np.int32).astype(np.float32)[:, None]
+              + span[None, :]) - ui[:, None]                 # [P, 2r+1]
+        dy = (vi.astype(np.int32).astype(np.float32)[:, None]
+              + span[None, :]) - vi[:, None]
+        dxg = dx[:, None, :]                                 # [P, 1, W]
+        dyg = dy[:, :, None]                                 # [P, H, 1]
+        c = np.cos(scene["theta"][paint])[:, None, None]
+        s = np.sin(scene["theta"][paint])[:, None, None]
+        rx = (c * dxg + s * dyg) / scene["sx"][paint][:, None, None]
+        ry = (-s * dxg + c * dyg) / scene["sy"][paint][:, None, None]
+        gauss = np.exp(-0.5 * (rx * rx + ry * ry))           # [P, H, W]
+        amp = scene["amp"][paint][:, None, None]
         if composite:
             # per-blob sinusoidal stamp in blob-local pixel coordinates —
             # blobs are fixed-size sprites (footprint does not transform
             # with view), so a pixel-anchored pattern is view-consistent
             # by construction while making each blob visually unique
-            lx = c * dx + s * dy
-            ly = -s * dx + c * dy
-            m = scene["tm"][k]
+            lx = c * dxg + s * dyg
+            ly = -s * dxg + c * dyg
+            m = scene["tm"][paint][:, None, None]
             tex = (1.0 + m * np.cos(
-                scene["tfx"][k] * lx + scene["tfy"][k] * ly
-                + scene["tph"][k])) / (1.0 + m)
-            color = scene["amp"][k] * tex
-            alpha = np.minimum(3.0 * gauss, 1.0)  # opaque core, soft edge
-            sl = img[y0:y1, x0:x1]
-            img[y0:y1, x0:x1] = sl * (1.0 - alpha) + color * alpha
+                scene["tfx"][paint][:, None, None] * lx
+                + scene["tfy"][paint][:, None, None] * ly
+                + scene["tph"][paint][:, None, None])) / (1.0 + m)
+            colors = amp * tex
+            alphas = np.minimum(3.0 * gauss, 1.0)  # opaque core, soft edge
         else:
-            img[y0:y1, x0:x1] += scene["amp"][k] * gauss
+            stamps = amp * gauss
+        for i in range(P):
+            x0, x1, y0, y1 = int(x0s[i]), int(x1s[i]), int(y0s[i]), int(y1s[i])
+            if x0 >= x1 or y0 >= y1:
+                continue
+            # patch-local slice of the clipped window
+            px0 = x0 - (int(ui[i]) - r)
+            py0 = y0 - (int(vi[i]) - r)
+            px1 = px0 + (x1 - x0)
+            py1 = py0 + (y1 - y0)
+            if composite:
+                alpha = alphas[i, py0:py1, px0:px1]
+                sl = img[y0:y1, x0:x1]
+                img[y0:y1, x0:x1] = (sl * (1.0 - alpha)
+                                     + colors[i, py0:py1, px0:px1] * alpha)
+            else:
+                img[y0:y1, x0:x1] += stamps[i, py0:py1, px0:px1]
     return np.clip(img, 0.0, 1.0)
 
 

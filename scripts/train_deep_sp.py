@@ -55,8 +55,20 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--kps", type=int, default=64)
     ap.add_argument("--from-scratch", action="store_true")
+    ap.add_argument("--init", default=None,
+                    help="load matcher params from this .npz instead of "
+                         "weights/lightglue.npz (chunked/resumable runs)")
     ap.add_argument("--world", default="blob",
                     choices=["blob", "surface", "mix"])
+    ap.add_argument("--seed", type=int, default=0,
+                    help="data/optimizer seed (chunked runs vary it so "
+                         "chunks do not repeat the same batches)")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="evaluate --init (or production weights) on both "
+                         "domains and exit")
+    ap.add_argument("--skip-eval", action="store_true",
+                    help="skip the before/after precision/recall evals "
+                         "(chunked runs evaluate once at the end)")
     ap.add_argument("--out", default=None,
                     help="save to this path unconditionally (skips the F1 gate)")
     ap.add_argument("--save", action="store_true",
@@ -83,13 +95,15 @@ def main():
         n_layers = int([l for l in meta.read_text().splitlines()
                         if l.startswith("n_layers")][0].split("=")[1])
     lg_params = None
-    if not args.from_scratch and (WEIGHTS / "lightglue.npz").exists():
+    init_path = Path(args.init) if args.init else (WEIGHTS / "lightglue.npz")
+    if not args.from_scratch and init_path.exists():
         lg_params = lg.init_params(key, n_layers=n_layers, n_kps=args.kps)
         lg_params = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.float32),
-            lg.load_params(WEIGHTS / "lightglue.npz", lg_params))
+            lg.load_params(init_path, lg_params))
+        print(f"init from {init_path}", flush=True)
 
-    if lg_params is not None:
+    if lg_params is not None and not args.skip_eval:
         p0, r0 = evaluate(sp_params, lg_params, n_layers, max_kps=args.kps)
         ps0, rs0 = evaluate(sp_params, lg_params, n_layers,
                             max_kps=args.kps, world="surface")
@@ -98,22 +112,34 @@ def main():
     else:
         p0 = r0 = 0.0
 
+    if args.eval_only:
+        assert lg_params is not None, "--eval-only needs weights"
+        for w in ("blob", "surface"):
+            pr, rc = evaluate(sp_params, lg_params, n_layers,
+                              max_kps=args.kps, world=w)
+            print(f"eval[{w}]: precision {pr:.3f} recall {rc:.3f}",
+                  flush=True)
+        return
+
     t0 = time.perf_counter()
     params, losses = train_lightglue_sp(
         sp_params, steps=args.steps, batch=args.batch, lr=args.lr,
         n_layers=n_layers, params=lg_params, n_kps=args.kps,
-        world=args.world)
+        world=args.world, seed=args.seed)
     print(f"trained {args.steps} steps in {time.perf_counter() - t0:.0f}s, "
           f"final loss {np.mean(losses[-20:]):.4f}", flush=True)
 
+    if args.out:
+        lg.save_params(Path(args.out), params)
+        print(f"saved {args.out}", flush=True)
+    if args.skip_eval:
+        print("CHUNK DONE", flush=True)
+        return
     p1, r1 = evaluate(sp_params, params, n_layers, max_kps=args.kps)
     ps1, rs1 = evaluate(sp_params, params, n_layers,
                         max_kps=args.kps, world="surface")
     print(f"after:  blob precision {p1:.3f} recall {r1:.3f} | "
           f"surface precision {ps1:.3f} recall {rs1:.3f}")
-    if args.out:
-        lg.save_params(Path(args.out), params)
-        print(f"saved {args.out}")
 
     f1_0 = 2 * p0 * r0 / max(p0 + r0, 1e-9)
     f1_1 = 2 * p1 * r1 / max(p1 + r1, 1e-9)

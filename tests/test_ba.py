@@ -210,3 +210,71 @@ def test_obs_linearize_t_matches_standard():
     np.testing.assert_allclose(np.asarray(Jp),
                                np.asarray(Jp_t).transpose(2, 0, 1), atol=1e-4)
     np.testing.assert_allclose(np.asarray(w), np.asarray(w_t), atol=1e-6)
+
+
+def _rigid_warp(angle=0.06, trans=(0.2, -0.15, 0.1)):
+    """A world-frame rigid transform W — pure gauge motion: applying
+    T' = T W^-1, X' = W X leaves every reprojection identical."""
+    c, s = np.cos(angle), np.sin(angle)
+    W = np.eye(4, dtype=np.float32)
+    W[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    W[:3, 3] = np.asarray(trans, np.float32)
+    return W
+
+
+def test_absolute_anchors_recover_gauge_warp(rng):
+    """Absolute pose anchors (BAProblem.abs_pose/abs_mask) must pull the
+    whole reconstruction out of a drift mode that reprojection cannot see.
+
+    The probe is the extreme case: a global rigid warp (the gauge) leaves
+    the reprojection cost EXACTLY invariant, so no amount of unanchored
+    BA can undo it — while 3 anchored cameras must drag every camera and
+    landmark back to the true frame through the reprojection coupling.
+    This is the measurement class the SCALING.md 1000-frame observability
+    analysis calls for (GPS priors / surveyed cameras); the reference has
+    no equivalent (BundleAdjuster.cpp priors anchor only to the estimate
+    itself).
+    """
+    poses, pts, intr, uv = make_synthetic_scene(rng, n_cams=8, n_pts=150)
+    W = _rigid_warp()
+    W_inv = np.linalg.inv(W)
+    poses_w = np.einsum("nij,jk->nik", poses, W_inv)
+    pts_w = pts @ W[:3, :3].T + W[:3, 3]
+
+    N, L = poses.shape[0], pts.shape[0]
+    base = BAProblem(
+        poses=jnp.asarray(poses_w, jnp.float32),
+        points=jnp.asarray(pts_w, jnp.float32),
+        intr=jnp.asarray(intr, jnp.float32),
+        obs_cam=jnp.asarray(np.repeat(np.arange(N), L).astype(np.int32)),
+        obs_pt=jnp.asarray(np.tile(np.arange(L), N).astype(np.int32)),
+        obs_uv=jnp.asarray(uv.reshape(-1, 2), jnp.float32),
+        obs_mask=jnp.ones(N * L, dtype=bool),
+        cam_in_ba=jnp.ones(N, dtype=bool),
+        cam_fixed=jnp.zeros(N, dtype=bool),   # free gauge
+        pt_in_ba=jnp.ones(L, dtype=bool),
+        pt_obs_count=jnp.full((L,), float(N)),
+    )
+    warp_err = np.abs(poses_w - poses).max()
+    assert warp_err > 0.1   # the warp is substantial
+
+    # without anchors the warped frame is a (near-)global optimum: BA
+    # must NOT move back toward the true frame
+    cfg = BAConfig(max_iters=30, tolerance=1e-10)
+    up, _, _, _ = refine_ba(base, cfg)
+    assert np.abs(np.asarray(up) - poses).max() > 0.5 * warp_err
+
+    # anchor 3 spread-out cameras to their TRUE poses
+    mask = np.zeros(N, dtype=bool)
+    mask[[0, N // 2, N - 1]] = True
+    prob = base._replace(
+        abs_pose=jnp.asarray(poses, jnp.float32),
+        abs_mask=jnp.asarray(mask),
+    )
+    for solver in ("dense", "pcg"):
+        new_poses, new_points, _, info = refine_ba(
+            prob, BAConfig(max_iters=60, tolerance=1e-12, solver=solver))
+        err = np.abs(np.asarray(new_poses) - poses).max()
+        assert err < 0.02 * warp_err, f"{solver}: pose err {err} vs warp {warp_err}"
+        pt_err = np.abs(np.asarray(new_points) - pts).max()
+        assert pt_err < 0.05, f"{solver}: point err {pt_err}"
