@@ -35,21 +35,40 @@ from eacham_tpu.utils.synthetic import (
 # data generation
 # --------------------------------------------------------------------------
 
-def sample_pair(rng, width=160, height=120, n_blobs=60, max_kps=64):
-    """Two views of one blob scene + GT kp locations and correspondence."""
+def sample_pair(rng, width=160, height=120, n_blobs=60, max_kps=64,
+                world="blob"):
+    """Two views of one scene + GT kp locations and correspondence.
+
+    ``world``: "blob" (volumetric field, near-identity poses), "surface"
+    (textured-surface sphere from the production orbit shell — the
+    stress/robustness domain), or "mix" (50/50 per pair)."""
     f = 1.2 * max(width, height)
     intr = np.array([f, f, width / 2, height / 2], np.float32)
-    scene = make_blob_scene(rng, n_blobs=n_blobs, depth=(3.0, 7.0), spread=1.3)
+    if world == "mix":
+        world = "surface" if rng.random() < 0.5 else "blob"
+    if world == "surface":
+        from eacham_tpu.utils.synthetic import make_surface_scene
 
-    def rand_pose():
-        T = np.eye(4, dtype=np.float32)
-        a = rng.uniform(-0.06, 0.06)
-        c, s = np.cos(a), np.sin(a)
-        T[:3, :3] = np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]], np.float32)
-        T[:3, 3] = rng.uniform(-0.25, 0.25, 3).astype(np.float32)
-        return T
+        scene = make_surface_scene(rng, n_blobs=max(n_blobs, 1500))
+        center = np.array([0.0, 0.0, 9.0], np.float32)
+        a0 = rng.uniform(0, 2 * np.pi)
+        da = np.deg2rad(rng.uniform(0.75, 8.0)) * rng.choice([-1.0, 1.0])
+        T0 = _orbit_pose(a0, center, 14.0)
+        T1 = _orbit_pose(a0 + da, center, 14.0)
+    else:
+        scene = make_blob_scene(
+            rng, n_blobs=n_blobs, depth=(3.0, 7.0), spread=1.3)
 
-    T0, T1 = rand_pose(), rand_pose()
+        def rand_pose():
+            T = np.eye(4, dtype=np.float32)
+            a = rng.uniform(-0.06, 0.06)
+            c, s = np.cos(a), np.sin(a)
+            T[:3, :3] = np.array(
+                [[c, 0, -s], [0, 1, 0], [s, 0, c]], np.float32)
+            T[:3, 3] = rng.uniform(-0.25, 0.25, 3).astype(np.float32)
+            return T
+
+        T0, T1 = rand_pose(), rand_pose()
     img0 = render_view(scene, T0, intr, width, height)
     img1 = render_view(scene, T1, intr, width, height)
 
@@ -58,12 +77,24 @@ def sample_pair(rng, width=160, height=120, n_blobs=60, max_kps=64):
         u = f * pc[:, 0] / pc[:, 2] + intr[2]
         v = f * pc[:, 1] / pc[:, 2] + intr[3]
         vis = (pc[:, 2] > 0.5) & (u >= 4) & (u < width - 4) & (v >= 4) & (v < height - 4)
+        if world == "surface":
+            # occlusion on the sphere: a surface point is visible only
+            # from the camera-facing hemisphere (the renderer composites
+            # back-to-front, hiding the far side) — without this, half
+            # the "GT keypoints" would be invisible and poison the
+            # detector labels
+            cam = -T[:3, :3].T @ T[:3, 3]
+            center = np.array([0.0, 0.0, 9.0], np.float32)
+            n_hat = scene["pts"] - center
+            vis = vis & (np.sum(n_hat * (cam - scene["pts"]), axis=1) > 0)
         return np.stack([u, v], -1), vis
 
     uv0, vis0 = project(T0)
     uv1, vis1 = project(T1)
     both = vis0 & vis1
-    idx = np.nonzero(both)[0][:max_kps]
+    idx = np.nonzero(both)[0]
+    if len(idx) > max_kps:
+        idx = rng.choice(idx, size=max_kps, replace=False)
     k = len(idx)
     kp0 = np.zeros((max_kps, 2), np.float32)
     kp1 = np.zeros((max_kps, 2), np.float32)
@@ -384,6 +415,15 @@ def _label_correspondence(xy0, m0, xy1, m1, scene, T0, T1, intr, tol=3.0):
         v = intr[1] * pc[:, 1] / z + intr[3]
         proj = np.stack([u, v], -1)
         good = pc[:, 2] > 0.5
+        if "center" in scene:
+            # surface world: only the camera-facing hemisphere is
+            # rendered — without this filter a detected keypoint can be
+            # associated to an OCCLUDED far-side blob that happens to
+            # project within tol (the surface is dense: ~1 blob/13 px^2),
+            # poisoning the correspondence labels
+            cam = -T[:3, :3].T @ T[:3, 3]
+            n_hat = scene["pts"] - scene["center"]
+            good = good & (np.sum(n_hat * (cam - scene["pts"]), axis=1) > 0)
         d = np.linalg.norm(xy[:, None, :] - proj[None, :, :], axis=-1)
         d = np.where(good[None, :], d, np.inf)
         blob = np.argmin(d, axis=1)

@@ -69,6 +69,9 @@ def make_surface_scene(rng, n_blobs: int = 4000, center=(0.0, 0.0, 9.0),
         "theta": rng.uniform(0, np.pi, n_blobs).astype(np.float32),
         "sx": rng.uniform(2.0, 5.0, n_blobs).astype(np.float32),
         "sy": rng.uniform(2.0, 5.0, n_blobs).astype(np.float32),
+        # sphere center: lets GT-labeling code do hemisphere occlusion
+        # (render_view ignores unknown keys)
+        "center": np.asarray(center, np.float32),
     }
     wav = rng.uniform(3.0, 9.0, n_blobs).astype(np.float32)
     ang = rng.uniform(0, np.pi, n_blobs).astype(np.float32)
