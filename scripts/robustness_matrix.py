@@ -67,17 +67,39 @@ def apply_nuisance(images, rng, noise=0.0, blur=0.0, exposure=0.0, drop=0.0):
     return out.astype(np.float32), keep
 
 
-def run_cell(images_np, poses_gt, intr, opts):
+def run_cell(images_np, poses_gt, intr, opts, frontend="classical",
+             deep_params=None, threshold=0.15):
+    import jax
     import jax.numpy as jnp
-    from eacham_tpu.features.frontend import extract_features
     from eacham_tpu.sfm import run_sfm
     from eacham_tpu.utils.evaluate import ate_rmse
 
     images = jnp.asarray(images_np)
-    xy, desc, score, mask = extract_features(images, max_keypoints=MAX_KPS)
+    match_tables = None
+    if frontend == "deep":
+        from eacham_tpu.features.deep.frontend import (
+            build_match_tables_deep, extract_deep_batch,
+        )
+        from eacham_tpu.geometry.camera import intrinsics_from_image_size
+
+        sp_params, lg_params, n_layers = deep_params
+        xy, desc, score, mask = extract_deep_batch(
+            sp_params, images, max_keypoints=1024)
+        match_tables = build_match_tables_deep(
+            lg_params, xy, desc, mask, (WIDTH, HEIGHT), n_layers=n_layers,
+            min_matches=opts.min_matches, threshold=threshold,
+            verify=(intrinsics_from_image_size(WIDTH, HEIGHT),
+                    jax.random.PRNGKey(7), opts.max_repr_error,
+                    opts.verify_hyps))
+    else:
+        from eacham_tpu.features.frontend import extract_features
+
+        xy, desc, score, mask = extract_features(
+            images, max_keypoints=MAX_KPS)
     scene, stats = run_sfm(
         xy, desc, mask, image_size=(WIDTH, HEIGHT),
-        intr=jnp.asarray(intr), options=opts, verbose=False)
+        intr=jnp.asarray(intr), options=opts, verbose=False,
+        match_tables=match_tables)
     valid = np.asarray(scene.pose_valid)
     n = len(images_np)
     if valid.sum() < 3:
@@ -94,6 +116,12 @@ def main():
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--md", action="store_true")
     ap.add_argument("--worlds", type=int, default=3)
+    ap.add_argument("--frontend", choices=["classical", "deep"],
+                    default="classical",
+                    help="deep = SuperPoint+LightGlue column (VERDICT r4 "
+                         "#9); needs the mixed-domain weights to pass")
+    ap.add_argument("--threshold", type=float, default=0.15)
+    ap.add_argument("--weights", default=None)
     args = ap.parse_args()
 
     from eacham_tpu.utils.cache import enable_compilation_cache
@@ -126,6 +154,14 @@ def main():
         match_chunk=32, local_ba_every=3,
     )
 
+    deep_params = None
+    if args.frontend == "deep":
+        from eacham_tpu.features.deep.frontend import load_frontend_params
+
+        deep_params = load_frontend_params(weights_dir=args.weights)
+        print(f"# deep frontend: {deep_params[2]}-layer matcher, "
+              f"t={args.threshold}", flush=True)
+
     rows = []
     for family, cells in NUISANCES.items():
         for label, kw in cells:
@@ -135,7 +171,10 @@ def main():
                 nrng = np.random.default_rng(7 + w)
                 imgs, keep = apply_nuisance(images, nrng, **kw)
                 gt = poses[keep] if keep is not None else poses
-                reg, ate = run_cell(imgs, gt, intr, opts)
+                reg, ate = run_cell(imgs, gt, intr, opts,
+                                    frontend=args.frontend,
+                                    deep_params=deep_params,
+                                    threshold=args.threshold)
                 regs.append(reg)
                 ates.append(ate)
                 n_frames = len(imgs)
@@ -157,7 +196,9 @@ def main():
     out = [{"family": fam, "level": label, "frames": n,
             "registered": round(reg, 4), "ate": round(ate, 4)}
            for fam, label, n, reg, ate, _ in rows]
-    Path("robustness_matrix.json").write_text(json.dumps(out, indent=2))
+    name = ("robustness_matrix.json" if args.frontend == "classical"
+            else "robustness_matrix_deep.json")
+    Path(name).write_text(json.dumps(out, indent=2))
 
 
 if __name__ == "__main__":
