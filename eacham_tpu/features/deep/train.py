@@ -374,7 +374,15 @@ def sample_image_pair(rng, width=160, height=120, n_blobs=70, textured=True,
     if world == "surface":
         from eacham_tpu.utils.synthetic import make_surface_scene
 
-        scene = make_surface_scene(rng, n_blobs=max(n_blobs, 1500))
+        # n_blobs <= 100 means "the blob-world default leaked through":
+        # substitute a production-density sphere. Callers wanting a
+        # specific surface density pass it explicitly. Density matters:
+        # a detector budget K on a world with V visible blobs yields
+        # ~K^2/V co-detected (labelable) pairs — K=64 on V~750 starves
+        # the matcher of positives (measured: 3.9 labels/pair, and the
+        # matchability head then learns "nothing matches").
+        scene = make_surface_scene(
+            rng, n_blobs=n_blobs if n_blobs > 100 else 1000)
         center = np.array([0.0, 0.0, 9.0], np.float32)
         a0 = rng.uniform(0, 2 * np.pi)
         # production window spans ~0.75-8 deg of orbit between paired views
@@ -404,45 +412,54 @@ def sample_image_pair(rng, width=160, height=120, n_blobs=70, textured=True,
     return img0, img1, scene, T0, T1, intr
 
 
-def _label_correspondence(xy0, m0, xy1, m1, scene, T0, T1, intr, tol=3.0):
-    """gt[i] = index of xy0[i]'s partner in xy1 (or -1): detected keypoints
-    are associated to the nearest GT blob projection within ``tol`` px, and
-    partners share a blob id."""
-    def assoc(xy, m, T):
+def _label_correspondence(xy0, m0, xy1, m1, scene, T0, T1, intr, tol=3.0,
+                          assoc_r=10.0):
+    """gt[i] = index of xy0[i]'s true partner among the DETECTED xy1 (or
+    -1), by FLOW TRANSFER through each keypoint's governing blob.
+
+    The renderer's blobs are pixel-anchored sprites (their sinusoidal
+    texture lives in blob-local PIXEL coordinates), so every texture
+    feature at offset (dx, dy) from its blob's center reappears at the
+    SAME offset in the other view — the true correspondence of a detected
+    keypoint is kp + (proj1(g) - proj0(g)) for its governing blob g.
+    The r4 scheme instead required detections to sit ON blob centers
+    (<= 3 px) in BOTH views; on dense surface worlds detections are
+    texture corners between centers, which starved the labels (measured:
+    3.9 labels per 64-kp pair — and a matcher trained on that learns
+    "nothing matches", surface recall 0.10)."""
+    def project(T):
         pc = scene["pts"] @ T[:3, :3].T + T[:3, 3]
         z = np.maximum(pc[:, 2], 1e-6)
         u = intr[0] * pc[:, 0] / z + intr[2]
         v = intr[1] * pc[:, 1] / z + intr[3]
-        proj = np.stack([u, v], -1)
         good = pc[:, 2] > 0.5
         if "center" in scene:
-            # surface world: only the camera-facing hemisphere is
-            # rendered — without this filter a detected keypoint can be
-            # associated to an OCCLUDED far-side blob that happens to
-            # project within tol (the surface is dense: ~1 blob/13 px^2),
-            # poisoning the correspondence labels
+            # surface world: only the camera-facing hemisphere is rendered
             cam = -T[:3, :3].T @ T[:3, 3]
             n_hat = scene["pts"] - scene["center"]
             good = good & (np.sum(n_hat * (cam - scene["pts"]), axis=1) > 0)
-        d = np.linalg.norm(xy[:, None, :] - proj[None, :, :], axis=-1)
-        d = np.where(good[None, :], d, np.inf)
-        blob = np.argmin(d, axis=1)
-        ok = (d[np.arange(len(xy)), blob] < tol) & m
-        return np.where(ok, blob, -1)
+        return np.stack([u, v], -1), good
 
-    b0 = assoc(np.asarray(xy0), np.asarray(m0), T0)
-    b1 = assoc(np.asarray(xy1), np.asarray(m1), T1)
-    K = len(b0)
-    # first slot in view 1 per blob id
-    lookup = {}
-    for j, b in enumerate(b1):
-        if b >= 0 and b not in lookup:
-            lookup[b] = j
-    gt = np.full((K,), -1, np.int32)
-    for i, b in enumerate(b0):
-        if b >= 0 and b in lookup:
-            gt[i] = lookup[b]
-    return gt
+    proj0, vis0 = project(T0)
+    proj1, vis1 = project(T1)
+    xy0 = np.asarray(xy0)
+    xy1 = np.asarray(xy1)
+    m0 = np.asarray(m0)
+    m1 = np.asarray(m1)
+
+    # governing blob of each view-0 keypoint: nearest visible projection
+    d0 = np.linalg.norm(xy0[:, None, :] - proj0[None, :, :], axis=-1)
+    d0 = np.where(vis0[None, :], d0, np.inf)
+    g = np.argmin(d0, axis=1)
+    ok = (d0[np.arange(len(xy0)), g] < assoc_r) & m0 & vis1[g]
+
+    # predicted partner position in view 1 (rigid sprite translation)
+    pred = xy0 + proj1[g] - proj0[g]
+    d1 = np.linalg.norm(pred[:, None, :] - xy1[None, :, :], axis=-1)
+    d1 = np.where(m1[None, :], d1, np.inf)
+    j = np.argmin(d1, axis=1)
+    ok = ok & (d1[np.arange(len(xy0)), j] < tol)
+    return np.where(ok, j, -1).astype(np.int32)
 
 
 def render_pair_batch(rng, batch=8, width=160, height=120, n_blobs=70,

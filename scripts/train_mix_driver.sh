@@ -11,7 +11,8 @@
 set -u
 TOTAL=${1:-3200}
 OUT=${2:-weights/lightglue_mix.npz}
-CHUNK=400
+CHUNK=${CHUNK:-400}
+KPS=${KPS:-256}
 CHUNK_TIMEOUT=${CHUNK_TIMEOUT:-1500}
 LOG=${LOG:-/tmp/train_mix_driver.log}
 cd "$(dirname "$0")/.."
@@ -24,7 +25,7 @@ while [ "$done_steps" -lt "$TOTAL" ] && [ "$attempt" -lt 40 ]; do
   echo "[driver] attempt $attempt: steps $done_steps/$TOTAL" | tee -a "$LOG"
   timeout -k 30 "$CHUNK_TIMEOUT" python scripts/train_deep_sp.py \
     --world mix --steps "$CHUNK" --skip-eval $INIT --out "$OUT" \
-    --seed $((1000 + done_steps)) >> "$LOG" 2>&1
+    --kps "$KPS" --seed $((1000 + done_steps)) >> "$LOG" 2>&1
   rc=$?
   if [ "$rc" -eq 0 ] && tail -3 "$LOG" | grep -q "CHUNK DONE"; then
     done_steps=$((done_steps + CHUNK))
@@ -37,6 +38,6 @@ echo "[driver] finished $done_steps steps" | tee -a "$LOG"
 # final evaluation on both domains (also under timeout + one retry)
 for i in 1 2; do
   timeout -k 30 900 python scripts/train_deep_sp.py \
-    --eval-only --init "$OUT" >> "$LOG" 2>&1 && break
+    --eval-only --init "$OUT" --kps "$KPS" >> "$LOG" 2>&1 && break
 done
 tail -6 "$LOG"
