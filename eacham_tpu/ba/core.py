@@ -247,7 +247,12 @@ def _prior_terms(poses, points, intr, p: BAProblem, anchors, cfg: BAConfig):
             [jnp.full((3,), cfg.abs_sigma_rot),
              jnp.full((3,), cfg.abs_sigma_pos)]
         ).astype(poses.dtype)
-        r_abs = log_se3(poses @ jnp.linalg.inv(p.abs_pose)) / sig_abs
+        # unanchored rows may hold garbage (zeros): inv() of a singular
+        # matrix yields inf/NaN which poisons the masked product
+        # (0 * NaN = NaN) — substitute identity before inverting
+        eye = jnp.eye(4, dtype=poses.dtype)
+        safe_abs = jnp.where(p.abs_mask[:, None, None], p.abs_pose, eye)
+        r_abs = log_se3(poses @ jnp.linalg.inv(safe_abs)) / sig_abs
         abs_on = p.abs_mask & p.cam_in_ba & (~p.cam_fixed)
         w_abs = abs_on.astype(poses.dtype)
         r_abs = r_abs * w_abs[:, None]

@@ -141,6 +141,10 @@ def main():
         lm_capacity=args.lm_capacity, refine_max_iters=30,
         global_max_iters=args.global_iters,
         match_chunk=32, interim_ba_iters=10,
+        local_ba_free_span=6,     # stress_500 default: without frozen
+                                  # window cams the per-solve gauge walk
+                                  # collapses scale at N=1000 (r3;
+                                  # reproduced here: ATE 7.1 vs 2.0)
         ba_program_iters=args.ba_program_iters,
         abs_sigma_pos=args.sigma, abs_sigma_rot=0.005,
     )

@@ -278,3 +278,21 @@ def test_absolute_anchors_recover_gauge_warp(rng):
         assert err < 0.02 * warp_err, f"{solver}: pose err {err} vs warp {warp_err}"
         pt_err = np.abs(np.asarray(new_points) - pts).max()
         assert pt_err < 0.05, f"{solver}: point err {pt_err}"
+
+
+def test_absolute_anchors_ignore_garbage_unanchored_rows(rng):
+    """Unanchored abs_pose rows may hold zeros (singular): the masked
+    prior must stay finite (regression: inv(0) -> NaN poisoned the whole
+    solve through 0 * NaN)."""
+    poses, pts, intr, uv = make_synthetic_scene(rng, n_cams=6, n_pts=80)
+    prob = _make_problem(rng, poses, pts, intr, uv)
+    anchors = np.zeros((6, 4, 4), np.float32)
+    anchors[0] = poses[0]
+    mask = np.zeros(6, bool)
+    mask[0] = True
+    prob = prob._replace(abs_pose=jnp.asarray(anchors),
+                         abs_mask=jnp.asarray(mask))
+    new_poses, new_points, _, info = refine_ba(prob, BAConfig(max_iters=15))
+    assert np.isfinite(np.asarray(new_poses)).all()
+    assert np.isfinite(float(info["final_cost"]))
+    assert float(info["final_cost"]) < float(info["initial_cost"])
