@@ -381,14 +381,33 @@ def sample_image_pair(rng, width=160, height=120, n_blobs=70, textured=True,
         # ~K^2/V co-detected (labelable) pairs — K=64 on V~750 starves
         # the matcher of positives (measured: 3.9 labels/pair, and the
         # matchability head then learns "nothing matches").
+        # production appearance density: the stress/robustness worlds run
+        # 4000 blobs at 512x384 (0.0203 blobs/px^2) — scale to this render
         scene = make_surface_scene(
-            rng, n_blobs=n_blobs if n_blobs > 100 else 1000)
-        center = np.array([0.0, 0.0, 9.0], np.float32)
-        a0 = rng.uniform(0, 2 * np.pi)
-        # production window spans ~0.75-8 deg of orbit between paired views
-        da = np.deg2rad(rng.uniform(0.75, 8.0)) * rng.choice([-1.0, 1.0])
-        T0 = _orbit_pose(a0, center, 14.0)
-        T1 = _orbit_pose(a0 + da, center, 14.0)
+            rng, n_blobs=(n_blobs if n_blobs > 500
+                          else max(300, int(0.0203 * width * height))))
+        if rng.random() < 0.5:
+            # stress geometry: inward look-at orbit (rotation mostly
+            # cancels; translation-dominant flow), window-scale offsets
+            center = np.array([0.0, 0.0, 9.0], np.float32)
+            a0 = rng.uniform(0, 2 * np.pi)
+            da = (np.deg2rad(rng.uniform(0.75, 8.0))
+                  * rng.choice([-1.0, 1.0]))
+            T0 = _orbit_pose(a0, center, 14.0)
+            T1 = _orbit_pose(a0 + da, center, 14.0)
+        else:
+            # robustness/bench_deep geometry: orbit_poses near the sphere
+            # (rotation-DOMINANT flow between window pairs) — the flow
+            # family the surface bench rows actually measure; a matcher
+            # trained only on the look-at orbit misses it (measured:
+            # 79/69/64 of 100 registered)
+            from eacham_tpu.utils.synthetic import orbit_poses
+
+            i = int(rng.integers(0, 90))
+            j = i + int(rng.integers(1, 11))
+            traj = orbit_poses(j + 1, radius=0.6, step_deg=0.8,
+                               advance=0.04)
+            T0, T1 = traj[i], traj[j]
     else:
         scene = make_blob_scene(
             rng, n_blobs=n_blobs, depth=(3.0, 7.0), spread=1.3)
@@ -465,13 +484,20 @@ def _label_correspondence(xy0, m0, xy1, m1, scene, T0, T1, intr, tol=3.0,
 def render_pair_batch(rng, batch=8, width=160, height=120, n_blobs=70,
                       textured=True, world="blob"):
     """``batch`` rendered training pairs (the host-CPU half of
-    make_sp_batch — safe to run in worker processes: numpy only)."""
+    make_sp_batch — safe to run in worker processes: numpy only).
+
+    Blob density is RESOLUTION-ADAPTIVE: the orbit/FOV geometry is
+    resolution-independent, so matching the production bench's local
+    appearance means matching blobs per PIXEL, not per scene — the
+    default n_blobs scales with render area (70 @ 160x120 equivalent)."""
+    n_eff = max(30, int(round(n_blobs * (width * height) / (160 * 120))))
+
     def pick_world():
         if world == "mix":
             return "surface" if rng.random() < 0.5 else "blob"
         return world
 
-    return [sample_image_pair(rng, width, height, n_blobs, textured,
+    return [sample_image_pair(rng, width, height, n_eff, textured,
                               world=pick_world())
             for _ in range(batch)]
 
@@ -510,7 +536,23 @@ def make_sp_batch(sp_params, rng, batch=8, width=160, height=120,
     imgs = np.stack([p[0] for p in pairs] + [p[1] for p in pairs])
     xy, desc, score, mask = extract_deep_batch(
         sp_params, jnp.asarray(imgs), max_keypoints=max_kps)
-    xy, desc, mask = np.asarray(xy), np.asarray(desc), np.asarray(mask)
+    xy, desc = np.asarray(xy), np.asarray(desc)
+    mask = np.array(mask)          # writable copy (np.asarray of a jax
+    score_np = np.asarray(score)   # array is a read-only view)
+    # per-world keypoint budget: a blob-world frame holds only ~70-140
+    # true features — forcing the full max_kps there fills 3/4 of the
+    # slots with background-texture junk, and a matcher trained on that
+    # junk loses precision on the CLEAN blob bench (measured e2e: blob
+    # median ATE 0.047 -> 0.22 on the uniform-K mix run). Blob pairs keep
+    # their top-half by detector score; surface worlds keep everything.
+    kp_budget = max_kps // 2
+    for b, (_, _, sc, _, _, _) in enumerate(pairs):
+        if "center" not in sc and kp_budget < max_kps:
+            for side in (b, batch + b):
+                order = np.argsort(-score_np[side])
+                keep = np.zeros(max_kps, bool)
+                keep[order[:kp_budget]] = True
+                mask[side] &= keep
     gts = []
     for b, (i0, i1, scene, T0, T1, intr) in enumerate(pairs):
         gts.append(_label_correspondence(
