@@ -139,3 +139,51 @@ def test_extract_deep_refine_integer_vs_subpixel(sp_params, rng):
     frac = (np.abs(b - np.rint(b)) > 1e-3).any(-1).mean()
     assert frac > 0.2, frac
     assert (b[:, 0] >= -1) .all() and (b[:, 0] < W + 1).all()
+
+
+def test_flow_transfer_labels_are_geometrically_correct():
+    """The flow-transfer labeler (train._label_correspondence) must label
+    detected keypoints by the governing blob's sprite translation, and
+    never through the occluded far hemisphere of a surface world."""
+    import numpy as np
+    from eacham_tpu.features.deep.train import (
+        _label_correspondence, _orbit_pose,
+    )
+    from eacham_tpu.utils.synthetic import make_surface_scene
+
+    rng = np.random.default_rng(3)
+    scene = make_surface_scene(rng, n_blobs=400)
+    W, H = 160, 120
+    f = 1.2 * W
+    intr = np.array([f, f, W / 2, H / 2], np.float32)
+    center = np.array([0.0, 0.0, 9.0], np.float32)
+    T0 = _orbit_pose(0.3, center, 14.0)
+    T1 = _orbit_pose(0.3 + np.deg2rad(3.0), center, 14.0)
+
+    def project(T):
+        pc = scene["pts"] @ T[:3, :3].T + T[:3, 3]
+        z = np.maximum(pc[:, 2], 1e-6)
+        u = intr[0] * pc[:, 0] / z + intr[2]
+        v = intr[1] * pc[:, 1] / z + intr[3]
+        cam = -T[:3, :3].T @ T[:3, 3]
+        vis = ((pc[:, 2] > 0.5) & (u > 5) & (u < W - 5) & (v > 5)
+               & (v < H - 5)
+               & (np.sum((scene["pts"] - center)
+                         * (cam - scene["pts"]), axis=1) > 0))
+        return np.stack([u, v], -1), vis
+
+    proj0, vis0 = project(T0)
+    proj1, vis1 = project(T1)
+    both = np.nonzero(vis0 & vis1)[0][:32]
+    # synthetic "detections": texture corners at a fixed sprite offset
+    # from blob centers — the sprite is pixel-anchored, so the offset is
+    # identical in both views
+    off = np.array([2.5, -1.5], np.float32)
+    xy0 = (proj0[both] + off).astype(np.float32)
+    perm = rng.permutation(len(both))
+    xy1 = (proj1[both][perm] + off).astype(np.float32)
+    m = np.ones(len(both), bool)
+    gt = _label_correspondence(xy0, m, xy1, m, scene, T0, T1, intr)
+    assert (gt >= 0).mean() > 0.9, f"labeled only {(gt >= 0).mean():.0%}"
+    lab = gt >= 0
+    assert (gt[lab] == np.argsort(perm)[lab]).all()
