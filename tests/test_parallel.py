@@ -204,3 +204,25 @@ def test_init_distributed_single_process_noop():
     from eacham_tpu.parallel.mesh import init_distributed
 
     assert init_distributed() is False     # no coordinator configured
+
+
+def test_sharded_ba_with_absolute_anchors(mesh, rng):
+    """Absolute anchors must ride through the shard_map path (replicated
+    specs for abs_pose/abs_mask) and agree with the single-device solve."""
+    prob, poses_gt, pts_gt = _random_problem(rng)
+    N = prob.poses.shape[0]
+    anchor_mask = np.zeros(N, bool)
+    anchor_mask[[0, N - 1]] = True
+    anchors = np.zeros((N, 4, 4), np.float32)  # garbage rows off-mask
+    anchors[0] = np.asarray(poses_gt[0])
+    anchors[N - 1] = np.asarray(poses_gt[N - 1])
+    prob = prob._replace(abs_pose=jnp.asarray(anchors),
+                         abs_mask=jnp.asarray(anchor_mask),
+                         cam_fixed=jnp.zeros(N, bool))
+    cfg = BAConfig(max_iters=20, cg_iters=25)
+    p1, _, _, info1 = refine_ba(prob, cfg)
+    p8, _, _, info8 = refine_ba_sharded(prob, cfg, mesh)
+    assert np.isfinite(np.asarray(p8)).all()
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=2e-3)
+    # the anchored cams end at their anchors
+    assert np.abs(np.asarray(p8)[0] - np.asarray(poses_gt[0])).max() < 5e-2
