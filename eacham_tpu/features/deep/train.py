@@ -572,7 +572,7 @@ def make_sp_batch(sp_params, rng, batch=8, width=160, height=120,
 def train_lightglue_sp(sp_params, steps=300, batch=8, lr=2e-4, n_layers=3,
                        seed=0, params=None, n_kps=64, log_every=25,
                        width=160, height=120, log=print, world="blob",
-                       workers=3):
+                       workers=0):
     """Train (or fine-tune) the matcher on SuperPoint-extracted features
     from rendered pairs. Pass ``params`` (e.g. the random-descriptor
     pretrain) to fine-tune; None trains from scratch."""

@@ -28,11 +28,12 @@ def save_scene(path: str | Path, scene: Scene, **extra_arrays) -> None:
     data = {f: np.asarray(getattr(scene, f)) for f in _FIELDS}
     for k, v in extra_arrays.items():
         data[f"extra_{k}"] = np.asarray(v)
-    tmp = path.with_name(path.name + ".tmp")
+    # .npz-suffixed tmp name: np.savez appends .npz to any other suffix,
+    # and probing for the unsuffixed name could rename a STALE leftover
+    # over the live checkpoint
+    tmp = path.with_name(path.name + ".tmp.npz")
     np.savez_compressed(tmp, **data)
-    # np.savez appends .npz to names without it
-    tmp_real = tmp if tmp.exists() else tmp.with_name(tmp.name + ".npz")
-    tmp_real.replace(path)
+    tmp.replace(path)
 
 
 def load_scene(path: str | Path) -> tuple[Scene, dict]:

@@ -384,11 +384,17 @@ def _ba(scene: Scene, cam_in_ba, cfg: BAConfig, min_landmarks: int,
     if abs_anchors is not None:
         # absolute pose references (GPS priors / surveyed cameras): gather
         # the full-scene anchor table into the windowed problem's camera
-        # list (ba/core.py _prior_terms consumes them)
+        # list (ba/core.py _prior_terms consumes them). The anchors fully
+        # determine the gauge, so the init-pair gauge freeze is RELEASED —
+        # a pinned init camera would otherwise hold its drifted pose
+        # against the anchor field (every _ba call site solves the full
+        # registered set, so cam_fixed here is only the gauge freeze,
+        # never window freezing).
         a_pose, a_mask = abs_anchors
         prob = prob._replace(
             abs_pose=jnp.asarray(a_pose)[cam_list],
             abs_mask=jnp.asarray(a_mask)[cam_list] & cam_on,
+            cam_fixed=jnp.zeros_like(prob.cam_fixed),
         )
     # program_iters > 0: cap the LM iterations per DISPATCHED program and
     # loop on the host. A single XLA execution running minutes of LM at
@@ -927,6 +933,7 @@ def resume_sfm(
                        * scene.kp_mask.shape[1]),
         ba_max_lms=opt.local_ba_max_lms,
         ba_every=opt.local_ba_every,
+        ba_free_span=opt.local_ba_free_span,
         segment=opt.sweep_segment,
         on_segment=_with_checkpoint(on_segment, opt, log),
     )

@@ -246,6 +246,32 @@ def orbit_poses(n_frames: int, radius: float = 0.8, step_deg: float = 2.0,
     return np.stack(poses)
 
 
+def stress_orbit_poses(n_frames: int, center=(0.0, 0.0, 9.0),
+                       orbit_r: float = 14.0):
+    """The long-trajectory stress orbit (stress_500 / anchor_probe /
+    kitti_rehearsal SHARE this; they also share feature caches, so the
+    geometry must come from one place): an inward look-at circle around
+    the surface-world center, overshooting 360 deg so the tail revisits
+    the start and retrieval closes the loop."""
+    c = np.asarray(center, np.float32)
+    poses = []
+    for i in range(n_frames):
+        a = np.deg2rad(360.0 * 1.04 * i / n_frames)
+        cam = c + orbit_r * np.array(
+            [np.sin(a), 0.025 * np.sin(5 * a), -np.cos(a)], np.float32)
+        fwd = c - cam
+        fwd /= np.linalg.norm(fwd)
+        right = np.cross([0.0, 1.0, 0.0], fwd)
+        right /= np.linalg.norm(right)
+        up = np.cross(fwd, right)
+        R = np.stack([right, up, fwd]).astype(np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = -R @ cam
+        poses.append(T)
+    return np.stack(poses)
+
+
 def render_sequence(rng, n_frames: int = 12, width: int = 320, height: int = 240,
                     n_blobs: int = 350, f_scale: float = 1.2):
     """Full synthetic dataset: (images [N,H,W], poses_gt [N,4,4], intr [4])."""

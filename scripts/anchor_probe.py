@@ -27,28 +27,13 @@ import numpy as np
 
 
 def orbit_poses_stress(N):
-    """The stress_500.py look-at orbit (keep in sync)."""
-    center = np.array([0.0, 0.0, 9.0], np.float32)
-    orbit_r = 14.0
-    poses = []
-    for i in range(N):
-        a = np.deg2rad(360.0 * 1.04 * i / N)
-        cam = center + orbit_r * np.array(
-            [np.sin(a), 0.025 * np.sin(5 * a), -np.cos(a)], np.float32)
-        fwd = center - cam
-        fwd /= np.linalg.norm(fwd)
-        right = np.cross([0.0, 1.0, 0.0], fwd)
-        right /= np.linalg.norm(right)
-        up = np.cross(fwd, right)
-        R = np.stack([right, up, fwd]).astype(np.float32)
-        T = np.eye(4, dtype=np.float32)
-        T[:3, :3] = R
-        T[:3, 3] = -R @ cam
-        poses.append(T)
-    return np.stack(poses)
+    """Shared stress orbit (eacham_tpu.utils.synthetic.stress_orbit_poses)."""
+    from eacham_tpu.utils.synthetic import stress_orbit_poses
+
+    return stress_orbit_poses(N)
 
 
-def anchors_from_gt(est_poses, gt_poses, anchor_ids):
+def anchors_from_gt(est_poses, gt_poses, anchor_ids, valid=None):
     """SE(3) anchor poses in the ESTIMATE's frame: similarity-align GT
     camera centers onto the estimate, then map each anchored GT pose
     through the (inverse) similarity. This is exactly what a production
@@ -60,8 +45,11 @@ def anchors_from_gt(est_poses, gt_poses, anchor_ids):
                        est_poses[:, :3, 3])
     c_gt = -np.einsum("nij,ni->nj", gt_poses[:, :3, :3],
                       gt_poses[:, :3, 3])
-    # similarity mapping est -> gt; invert it to express GT in est frame
-    s, R, t = align_umeyama(c_est.astype(np.float64), c_gt.astype(np.float64))
+    # similarity mapping est -> gt, fit over REGISTERED frames only —
+    # unregistered identity poses (center at origin) would skew the fit
+    fit = np.ones(len(c_est), bool) if valid is None else np.asarray(valid)
+    s, R, t = align_umeyama(c_est[fit].astype(np.float64),
+                            c_gt[fit].astype(np.float64))
     anchors = np.zeros_like(est_poses)
     for i in anchor_ids:
         c_anchor = (R.T @ (c_gt[i] - t)) / s          # gt center -> est frame
@@ -178,7 +166,7 @@ def main():
                          .round().astype(int)]
     print(f"anchoring frames {anchor_ids.tolist()} "
           f"(sigma pos {args.sigma}, rot 0.005 rad)", flush=True)
-    anchor_poses = anchors_from_gt(est, poses, anchor_ids)
+    anchor_poses = anchors_from_gt(est, poses, anchor_ids, valid=valid)
     anchor_mask = np.zeros(N, bool)
     anchor_mask[anchor_ids] = True
 

@@ -160,7 +160,10 @@ def main():
 
         deep_params = load_frontend_params(weights_dir=args.weights)
         print(f"# deep frontend: {deep_params[2]}-layer matcher, "
-              f"t={args.threshold}", flush=True)
+              f"t={args.threshold}; budgets are PER-FRONTEND production "
+              f"operating points (classical {MAX_KPS} kps, deep 1024) — "
+              f"columns compare production configs, not equal budgets",
+              flush=True)
 
     rows = []
     for family, cells in NUISANCES.items():

@@ -87,24 +87,12 @@ def main():
     # map in depth noise; a straight 0.04/frame walk left the field)
     img_cache = (Path(str(cache) + ".imgs.npy")
                  if cache is not None else None)
-    center = np.array([0.0, 0.0, 9.0], np.float32)
-    orbit_r = 14.0   # field half-extent ~7 -> blobs sit 7-21 units away
-    poses = []
-    for i in range(N):
-        a = np.deg2rad(360.0 * 1.04 * i / N)
-        cam = center + orbit_r * np.array(
-            [np.sin(a), 0.025 * np.sin(5 * a), -np.cos(a)], np.float32)
-        fwd = center - cam
-        fwd /= np.linalg.norm(fwd)
-        right = np.cross([0.0, 1.0, 0.0], fwd)
-        right /= np.linalg.norm(right)
-        up = np.cross(fwd, right)
-        R = np.stack([right, up, fwd]).astype(np.float32)   # world->cam
-        T = np.eye(4, dtype=np.float32)
-        T[:3, :3] = R
-        T[:3, 3] = -R @ cam
-        poses.append(T)
-    poses = np.stack(poses)
+    # orbit_r 14: field half-extent ~7 -> blobs sit 7-21 units away.
+    # SHARED generator (anchor_probe/kitti_rehearsal reuse the feature
+    # caches, so the geometry must come from one definition)
+    from eacham_tpu.utils.synthetic import stress_orbit_poses
+
+    poses = stress_orbit_poses(N)
     if cached is None:
         if img_cache is not None and img_cache.exists():
             images = np.load(img_cache, mmap_mode="r")

@@ -60,6 +60,8 @@ def main():
                          "weights/lightglue.npz (chunked/resumable runs)")
     ap.add_argument("--world", default="blob",
                     choices=["blob", "surface", "mix"])
+    ap.add_argument("--width", type=int, default=160)
+    ap.add_argument("--height", type=int, default=120)
     ap.add_argument("--seed", type=int, default=0,
                     help="data/optimizer seed (chunked runs vary it so "
                          "chunks do not repeat the same batches)")
@@ -125,7 +127,8 @@ def main():
     params, losses = train_lightglue_sp(
         sp_params, steps=args.steps, batch=args.batch, lr=args.lr,
         n_layers=n_layers, params=lg_params, n_kps=args.kps,
-        world=args.world, seed=args.seed)
+        world=args.world, seed=args.seed,
+        width=args.width, height=args.height, workers=3)
     print(f"trained {args.steps} steps in {time.perf_counter() - t0:.0f}s, "
           f"final loss {np.mean(losses[-20:]):.4f}", flush=True)
 

@@ -13,6 +13,7 @@ TOTAL=${1:-3200}
 OUT=${2:-weights/lightglue_mix.npz}
 CHUNK=${CHUNK:-400}
 KPS=${KPS:-256}
+SIZE=${SIZE:---width 224 --height 168}
 CHUNK_TIMEOUT=${CHUNK_TIMEOUT:-1500}
 LOG=${LOG:-/tmp/train_mix_driver.log}
 cd "$(dirname "$0")/.."
@@ -25,7 +26,7 @@ while [ "$done_steps" -lt "$TOTAL" ] && [ "$attempt" -lt 40 ]; do
   echo "[driver] attempt $attempt: steps $done_steps/$TOTAL" | tee -a "$LOG"
   timeout -k 30 "$CHUNK_TIMEOUT" python scripts/train_deep_sp.py \
     --world mix --steps "$CHUNK" --skip-eval $INIT --out "$OUT" \
-    --kps "$KPS" --seed $((1000 + done_steps)) >> "$LOG" 2>&1
+    --kps "$KPS" $SIZE --seed $((1000 + done_steps)) >> "$LOG" 2>&1
   rc=$?
   if [ "$rc" -eq 0 ] && tail -3 "$LOG" | grep -q "CHUNK DONE"; then
     done_steps=$((done_steps + CHUNK))
