@@ -177,3 +177,37 @@ def test_local_ba_amortization():
     c_est = -np.einsum("nij,ni->nj", est[:, :3, :3], est[:, :3, 3])
     c_gt = -np.einsum("nij,ni->nj", gt[:, :3, :3], gt[:, :3, 3])
     assert ate_rmse(c_est, c_gt) < 0.08
+
+
+def test_run_sfm_with_absolute_anchors_recovers_gt_frame():
+    """run_sfm(abs_anchors=...) must produce a reconstruction expressed in
+    the anchor frame: with 3 frames anchored to GT, the UNALIGNED pose
+    error (no similarity fitting) must be small — monocular SfM without
+    anchors can only ever match GT up to gauge."""
+    rng = np.random.default_rng(11)
+    poses_gt, pts_gt, intr, kps, desc, mask = make_feature_world(rng)
+    N = poses_gt.shape[0]
+    amask = np.zeros(N, bool)
+    amask[[0, N // 2, N - 1]] = True
+    opts = SfmOptions(
+        min_initial_inliers=100, min_matches=20,
+        ransac_hyps_e=256, ransac_hyps_h=128, ransac_hyps_pnp=256,
+        lm_capacity=4096, abs_sigma_pos=0.005, abs_sigma_rot=0.005,
+    )
+    scene, stats = run_sfm(
+        jnp.asarray(kps), jnp.asarray(desc), jnp.asarray(mask),
+        image_size=(640, 480), intr=jnp.asarray(intr, jnp.float32),
+        options=opts, verbose=False,
+        abs_anchors=(jnp.asarray(poses_gt, jnp.float32),
+                     jnp.asarray(amask)),
+    )
+    assert stats["initialized"]
+    valid = np.asarray(scene.pose_valid)
+    assert valid.sum() == N
+    est = np.asarray(scene.pose)
+    # camera centers in ABSOLUTE coordinates (no alignment)
+    ce = -np.einsum("nij,ni->nj", est[:, :3, :3], est[:, :3, 3])
+    cg = -np.einsum("nij,ni->nj", poses_gt[:, :3, :3], poses_gt[:, :3, 3])
+    err = np.linalg.norm(ce - cg, axis=1).max()
+    scale = np.linalg.norm(cg - cg.mean(0), axis=1).mean()
+    assert err < 0.05 * scale, f"absolute center error {err} vs scene scale {scale}"
