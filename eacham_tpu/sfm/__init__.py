@@ -4,3 +4,4 @@ from eacham_tpu.sfm.matches import build_match_tables, observers_of_frame
 from eacham_tpu.sfm.twoview import recover_pose_two_view, find_best_pair
 from eacham_tpu.sfm.triangulate import triangulate_frame
 from eacham_tpu.sfm.pipeline import run_sfm, resume_sfm, SfmOptions
+from eacham_tpu.sfm.anchors import anchors_in_estimate_frame

@@ -34,30 +34,12 @@ def orbit_poses_stress(N):
 
 
 def anchors_from_gt(est_poses, gt_poses, anchor_ids, valid=None):
-    """SE(3) anchor poses in the ESTIMATE's frame: similarity-align GT
-    camera centers onto the estimate, then map each anchored GT pose
-    through the (inverse) similarity. This is exactly what a production
-    system does with GPS/surveyed references expressed in its own map
-    frame."""
-    from eacham_tpu.utils.evaluate import align_umeyama
+    """Thin wrapper over the library API (sfm.anchors)."""
+    from eacham_tpu.sfm import anchors_in_estimate_frame
 
-    c_est = -np.einsum("nij,ni->nj", est_poses[:, :3, :3],
-                       est_poses[:, :3, 3])
-    c_gt = -np.einsum("nij,ni->nj", gt_poses[:, :3, :3],
-                      gt_poses[:, :3, 3])
-    # similarity mapping est -> gt, fit over REGISTERED frames only —
-    # unregistered identity poses (center at origin) would skew the fit
-    fit = np.ones(len(c_est), bool) if valid is None else np.asarray(valid)
-    s, R, t = align_umeyama(c_est[fit].astype(np.float64),
-                            c_gt[fit].astype(np.float64))
-    anchors = np.zeros_like(est_poses)
-    for i in anchor_ids:
-        c_anchor = (R.T @ (c_gt[i] - t)) / s          # gt center -> est frame
-        R_anchor = gt_poses[i][:3, :3] @ R            # world(est)->cam
-        anchors[i, :3, :3] = R_anchor
-        anchors[i, :3, 3] = -R_anchor @ c_anchor
-        anchors[i, 3, 3] = 1.0
-    return anchors.astype(np.float32)
+    poses, _ = anchors_in_estimate_frame(est_poses, gt_poses, anchor_ids,
+                                         valid=valid)
+    return poses
 
 
 def main():
