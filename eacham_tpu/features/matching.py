@@ -133,7 +133,8 @@ def match_all_pairs(
 
         match_j, match_valid = match_pairs_fused(
             desc, kp_mask, pair_idx, ratio)
-        pair_ok = jnp.sum(match_valid, axis=-1) > min_matches
+        pair_ok = (jnp.sum(match_valid, axis=-1) > min_matches) \
+            & (pair_idx[:, 0] < pair_idx[:, 1])
         return match_j, match_valid, pair_ok
 
     pad = (-P) % chunk
@@ -154,5 +155,7 @@ def match_all_pairs(
     _, (match_j, match_valid) = jax.lax.scan(step, None, pair_chunks)
     match_j = match_j.reshape(-1, K)[:P]
     match_valid = match_valid.reshape(-1, K)[:P]
-    pair_ok = jnp.sum(match_valid, axis=-1) > min_matches
+    # i < j also gates bucket-padding dummy rows (i == j == 0)
+    pair_ok = (jnp.sum(match_valid, axis=-1) > min_matches) \
+        & (pair_idx[:, 0] < pair_idx[:, 1])
     return match_j, match_valid, pair_ok

