@@ -200,12 +200,19 @@ def save_params(path, params):
     })
 
 
-def load_params(path, like):
-    """Load an .npz saved by save_params into the structure of ``like``."""
+def load_params(path, like, dtype=None):
+    """Load an .npz saved by save_params into the structure of ``like``
+    (real arrays OR jax.eval_shape structs — only the treedef is used).
+    ``dtype``: cast on the HOST before upload — a per-leaf device astype
+    compiled one one-shot program per tensor (11 for SuperPoint alone),
+    each paying the tunnel's per-program warm-start cost."""
     data = np.load(path)
     flat, treedef = jax.tree_util.tree_flatten_with_path(like)
     leaves = []
     for kp, v in flat:
         key = "/".join(str(k) for k in kp)
-        leaves.append(jnp.asarray(data[key]))
+        a = data[key]
+        if dtype is not None:
+            a = np.asarray(a, dtype)
+        leaves.append(jnp.asarray(a))
     return jax.tree_util.tree_unflatten(treedef, leaves)
